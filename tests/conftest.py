@@ -1,0 +1,21 @@
+"""Test configuration.
+
+- Forces JAX onto a virtual 8-device CPU mesh so sharding/pjit tests run
+  without TPU hardware (the standard JAX multi-device test pattern).
+- Forces legacy Keras (tf_keras) so the TF2.5-era reference implementation at
+  /root/reference can be instantiated as a numerical oracle.
+"""
+import os
+import sys
+
+# must be set before jax / tensorflow are imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
