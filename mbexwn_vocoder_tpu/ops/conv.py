@@ -1,0 +1,103 @@
+"""1-D convolution primitives (NWC layout, WIO kernels) for TPU.
+
+Conventions:
+- activations are (batch, time, channels) -- the natural layout for XLA's
+  TPU conv lowering (time x channels maps onto the MXU as a matmul with the
+  kernel taps unrolled)
+- kernels are (width, in_channels, out_channels), identical to the reference
+  checkpoints' layout so converted weights drop in without transposition
+  (reference kernel layout: tf_keras Conv1D, conv_layers.py:60-66)
+
+Weight-normalized kernels are stored as (v, g) pairs exactly like the
+reference (conv_layers.py:85-103); `fold_weight_norm` bakes them into a plain
+kernel for inference (the per-call recompute at conv_layers.py:149-153 is a
+training-time need only).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NWC", "WIO", "NWC")
+
+
+def same_pads(kernel_size: int, dilation: int = 1, stride: int = 1, in_len: Optional[int] = None) -> Tuple[int, int]:
+    """TF-compatible SAME padding (lo, hi) for a 1-D conv."""
+    k_eff = (kernel_size - 1) * dilation + 1
+    if stride == 1:
+        total = k_eff - 1
+    else:
+        if in_len is None:
+            raise ValueError("SAME padding with stride > 1 requires the input length")
+        out_len = -(-in_len // stride)
+        total = max(0, (out_len - 1) * stride + k_eff - in_len)
+    lo = total // 2
+    return lo, total - lo
+
+
+def causal_pads(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
+    k_eff = (kernel_size - 1) * dilation + 1
+    return k_eff - 1, 0
+
+
+def conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: str = "SAME",
+) -> jnp.ndarray:
+    """Conv over (B, T, Cin) with kernel (W, Cin, Cout)."""
+    if padding == "SAME":
+        pads = [same_pads(kernel.shape[0], dilation, stride, x.shape[1])]
+    elif padding == "CAUSAL":
+        pads = [causal_pads(kernel.shape[0], dilation)]
+    elif padding == "VALID":
+        pads = [(0, 0)]
+    else:
+        raise ValueError(f"unsupported padding {padding}")
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=pads,
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """kernel = g * v / ||v||_2 with the norm over (width, in) per out-channel.
+
+    reference: conv_layers.py:149-153 (tf.nn.l2_normalize uses eps 1e-12)
+    """
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True), 1e-12))
+    return g * (v / norm)
+
+
+def equalized_lr_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """kernel = g * v / rms(v) (equalized-LR variant, conv_layers.py:150-151)."""
+    rms = jnp.sqrt(jnp.mean(jnp.square(v), axis=(0, 1), keepdims=True))
+    return g * (v / rms)
+
+
+def fold_weight_norm(params: dict) -> dict:
+    """Recursively replace {v, g} pairs by a folded {kernel} in a param tree."""
+    if isinstance(params, dict):
+        if "v" in params and "g" in params:
+            out = {k: vv for k, vv in params.items() if k not in ("v", "g")}
+            if params.get("_equalized_lr", False):
+                out["kernel"] = equalized_lr_kernel(params["v"], params["g"])
+            else:
+                out["kernel"] = weight_norm_kernel(params["v"], params["g"])
+            out.pop("_equalized_lr", None)
+            return out
+        return {k: fold_weight_norm(vv) for k, vv in params.items()}
+    return params

@@ -1,0 +1,88 @@
+"""Wavetable oscillator runtime: drift-stable phase accumulation and
+band-limited table lookup with grid cross-fade.
+
+reference: MBExWN_NVoc/vocoder/model/tf_wavetable.py:429-492 (chunked cumsum,
+itself adapted from DDSP's angular_cumsum) and :495-638 (lookup/cross-fade).
+
+TPU notes:
+- the phase is a prefix sum over the whole utterance; computing it as one
+  float32 cumsum drifts audibly on long signals, so it is computed chunkwise
+  with mod-1 carried offsets -- the exact arithmetic of the reference so that
+  outputs match sample-for-sample
+- wavetables are tiny ((~512+1) x n_grid floats); the gather-based lerp
+  lowers to a vector gather from VMEM on TPU
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def stable_cumsum_and_wrap(phase_velocity: jnp.ndarray, chunk_size: int = 1000) -> jnp.ndarray:
+    """Accumulated phase mod 1 of shape (B, T), chunked to bound fp32 error.
+
+    Splits time into chunks, cumsums each chunk, and stitches chunks with
+    mod-1 offsets that are themselves accumulated mod 1 (tf_wavetable.py:457-492).
+    """
+    n_batch, n_time = phase_velocity.shape[0], phase_velocity.shape[1]
+    remainder = n_time % chunk_size
+    if remainder:
+        pad = chunk_size - remainder
+        phase_velocity = jnp.pad(phase_velocity, ((0, 0), (0, pad)))
+    length = phase_velocity.shape[1]
+    n_chunks = length // chunk_size
+
+    chunks = phase_velocity.reshape(n_batch, n_chunks, chunk_size)
+    phase = jnp.cumsum(chunks, axis=2)
+
+    # offset of each chunk = accumulated (mod 1) final values of prior chunks
+    offsets = phase[:, :, -1:] % 1.0
+    offsets = jnp.pad(offsets, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    offsets = jnp.cumsum(offsets, axis=1) % 1.0
+
+    phase = (phase + offsets) % 1.0
+    phase = phase.reshape(n_batch, length)
+    if remainder:
+        phase = phase[:, :n_time]
+    return phase
+
+
+def wavetable_lookup(phase: jnp.ndarray, wavetables: jnp.ndarray, no_interp: bool = False) -> jnp.ndarray:
+    """Linear-interp lookup of (B, T) phases in (n_wavetable, n_grid) tables.
+
+    Returns (B, T, n_grid): each grid column sampled at the same phase.
+    reference: tf_wavetable.py:605-638
+    """
+    n_period = wavetables.shape[0] - 1
+    phase_wt = phase * n_period
+    if no_interp:
+        idx = jnp.round(phase_wt).astype(jnp.int32)
+        return jnp.take(wavetables, idx, axis=0)
+    base = jnp.floor(phase_wt)
+    rem = (phase_wt - base)[..., None]
+    idx = base.astype(jnp.int32)
+    s0 = jnp.take(wavetables, idx, axis=0)  # (B, T, n_grid)
+    s1 = jnp.take(wavetables, idx + 1, axis=0)
+    return s0 * (1.0 - rem) + s1 * rem
+
+
+def grid_crossfade(
+    audio_grid: jnp.ndarray,
+    frequency: jnp.ndarray,
+    nominal_f0: float,
+    grid_factor: float,
+    min_transposition: float,
+    max_transposition: float,
+) -> jnp.ndarray:
+    """Cross-fade between adjacent grid tables with ReLU tent weights.
+
+    audio_grid: (B, T, n_grid) lookup results; frequency: (B, T).
+    reference: tf_wavetable.py:536-552
+    """
+    n_grid = audio_grid.shape[-1]
+    log_ratio = jnp.log(
+        jnp.clip(frequency / nominal_f0, min_transposition, max_transposition)
+    )[..., None]
+    norm = 1.0 / jnp.log(grid_factor)
+    diff = log_ratio * norm - jnp.arange(n_grid, dtype=audio_grid.dtype)
+    weights = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+    return jnp.sum(audio_grid * weights, axis=-1)

@@ -1,0 +1,82 @@
+"""On-device STFT / iSTFT with tf.signal-compatible semantics.
+
+The excitation -> spectral-envelope filter -> overlap-add resynthesis path of
+the vocoder (custom_pulsed_generator.py:681-724) depends on the exact framing,
+windowing and OLA-normalisation conventions of tf.signal.stft /
+tf.signal.inverse_stft / inverse_stft_window_fn; these are reproduced here
+sample-exactly (off-by-one hops are audible as buzz).
+
+TPU notes: framing is a gather (B, F, W), the window multiply fuses into it,
+and the rfft batches over frames.  irfft + scatter-add implements OLA.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def frame(x: jnp.ndarray, frame_length: int, frame_step: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, frame_length); n_frames = 1+(T-L)//S."""
+    n_frames = 1 + (x.shape[-1] - frame_length) // frame_step
+    idx = np.arange(n_frames)[:, None] * frame_step + np.arange(frame_length)[None, :]
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    frame_length: int,
+    frame_step: int,
+    fft_length: int,
+    window: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """tf.signal.stft(pad_end=False) semantics: frames start at 0, windowed
+    frames are right-padded with zeros to fft_length before the rfft."""
+    frames = frame(x, frame_length, frame_step)
+    if window is not None:
+        frames = frames * window
+    return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+
+
+def inverse_stft_window(
+    frame_length: int,
+    frame_step: int,
+    forward_window: np.ndarray,
+) -> np.ndarray:
+    """tf.signal.inverse_stft_window_fn: forward window divided by the
+    periodized sum of its squares over all frame_step shifts."""
+    window = np.asarray(forward_window, dtype=np.float64)
+    denom = window**2
+    overlaps = -(-frame_length // frame_step)  # ceil
+    denom = np.pad(denom, (0, overlaps * frame_step - frame_length))
+    denom = denom.reshape(overlaps, frame_step)
+    denom = denom.sum(axis=0)
+    denom = np.tile(denom, overlaps)[:frame_length]
+    return (window / denom).astype(np.float32)
+
+
+def overlap_and_add(frames: jnp.ndarray, frame_step: int) -> jnp.ndarray:
+    """(..., F, L) -> (..., (F-1)*S + L) by overlap-add (scatter-add)."""
+    n_frames, frame_length = frames.shape[-2], frames.shape[-1]
+    out_len = (n_frames - 1) * frame_step + frame_length
+    idx = (np.arange(n_frames)[:, None] * frame_step + np.arange(frame_length)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (-1,))
+    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
+    return out.at[..., idx].add(flat)
+
+
+def istft(
+    spec: jnp.ndarray,
+    frame_length: int,
+    frame_step: int,
+    fft_length: int,
+    window: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """tf.signal.inverse_stft semantics: irfft to fft_length, truncate to
+    frame_length, multiply by `window` (typically inverse_stft_window), OLA."""
+    frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)[..., :frame_length]
+    if window is not None:
+        frames = frames * window
+    return overlap_and_add(frames, frame_step)

@@ -8,13 +8,19 @@
 import os
 import sys
 
-# must be set before jax / tensorflow are imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The runtime image exports JAX_PLATFORMS=axon (TPU plugin) and a
+# sitecustomize imports jax at interpreter start, so plain env setdefault is
+# too late/too weak -- force the config through jax.config instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
