@@ -1,0 +1,90 @@
+"""CLI: `.mell` mel pickles -> resynthesized audio.
+
+reference: bin/resynth_mel.py:34-135 (same flags, same verbose round-trip
+mel-error report -- the built-in quality validator, SURVEY §3.4).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, seed=42,
+         quiet=False, use_gpu=False, num_threads=2, batch=1):
+    from .. import list_models
+    from ..compat import iovar
+    from ..compat.audio_io import write_wav
+    from ..dsp.db import log_to_db
+    from ..mel_inverter import MELInverter
+
+    import jax
+
+    MelInv = MELInverter(model_id_or_path=model_id, verbose=verbose)
+
+    if output_dir and not os.path.exists(output_dir):
+        os.makedirs(output_dir)
+
+    for mell_file in input_mell_files:
+        outfile = os.path.join(
+            output_dir, "syn_" + os.path.splitext(os.path.basename(mell_file))[0] + "." + format
+        )
+        if not quiet:
+            print(f"synthesize {mell_file} into {outfile}", file=sys.stderr)
+
+        dd = iovar.load_var(mell_file)
+        log_mel_spectrogram = MelInv.scale_mel(dd, verbose=verbose)
+
+        start_time = time.time()
+        syn_audio = MelInv.synth_from_mel(log_mel_spectrogram)
+        end_time = time.time()
+
+        if verbose:
+            mel_resyn = MelInv.generate_mel_from_snd(syn_audio, srate=MelInv.srate)["mell"].T[np.newaxis]
+            mell_err = log_to_db * np.mean(
+                np.abs(log_mel_spectrogram - mel_resyn[:, : log_mel_spectrogram.shape[1]])
+            )
+            print(
+                f"    synthesized audio with {syn_audio.size} samples in {end_time - start_time:.3f}s "
+                f"({syn_audio.size / (end_time - start_time):.2f}Hz), mel_error: {mell_err:.3f}dB",
+                file=sys.stderr,
+            )
+
+        if np.max(np.abs(syn_audio)) > 1:
+            norm = 0.99 / np.max(np.abs(syn_audio))
+            print(f"    to prevent clipping you would need to normalize {outfile} by {norm:.3f}", file=sys.stderr)
+
+        write_wav(outfile, syn_audio, MelInv.srate)
+
+
+def cli():
+    from ..platform import apply_platform_override
+
+    apply_platform_override()
+    from argparse import ArgumentParser
+
+    from .. import list_models
+
+    parser = ArgumentParser(description="resynthesize audio from mel spectrograms")
+    parser.add_argument("model_id", default=None, nargs="?", const=None,
+                        help="model identifier (substring match); omit to list models")
+    parser.add_argument("-i", "--input_mell_files", nargs="+", help="mell spectra pickle files")
+    parser.add_argument("-o", "--output_dir", help="output directory")
+    parser.add_argument("--format", default="wav", help="audio format (wav)")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("-q", "--quiet", action="store_true")
+    args = parser.parse_args()
+
+    if not args.model_id:
+        print("Please select one of the following models for mel inversion:")
+        for kk, ll in list_models().items():
+            for md in ll:
+                print(f" - {kk}/{md}")
+    else:
+        main(**vars(args))
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,101 @@
+"""CLI: visualize / diff mel spectrograms from audio or `.mell` files.
+
+reference: bin/view_mel.py:43-162 (matplotlib display; here PNG export since
+the image is headless, plus a text stats mode).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _load_mel(infile, preprocess_config, cargs=None):
+    from ..analysis import compute_mel_spectrogram_internal
+    from ..compat import iovar
+    from ..compat.audio_io import read_wav
+    from ..dsp.resample import resample
+
+    if infile.endswith(".mell") or infile.endswith(".mell.gz") or infile.endswith(".p"):
+        dd = iovar.load_var(infile)
+        mell = dd["mell"] if "mell" in dd else np.log(np.fmax(dd["mel"], 1e-10))
+        if dd.get("time_axis", 1) == 1:
+            mell = mell.T  # -> (T, n_mels)... stored (n_mels, T) with time_axis=1 meaning dict mell is C x T
+        return np.asarray(mell, dtype=np.float32), dd.get("sr", preprocess_config["sample_rate"])
+    snd, sr = read_wav(infile)
+    if sr != preprocess_config["sample_rate"]:
+        snd, _ = resample(snd, sr, preprocess_config["sample_rate"], axis=0)
+    mell, _ = compute_mel_spectrogram_internal(snd, preprocess_config=preprocess_config, do_post=False)
+    return mell[0], preprocess_config["sample_rate"]
+
+
+def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, cargs=None):
+    from .. import get_config_file
+    from ..config import config_utils as cutils
+    from ..dsp.db import log_to_db
+
+    hparams = cutils.read_config(get_config_file(model_id_or_path=model_id))
+    if cargs:
+        cutils.modify_config(hparams, cargs)
+    preprocess_config = hparams["preprocess_config"]
+
+    mels = []
+    for f in infiles:
+        mell, sr = _load_mel(f, preprocess_config)
+        mels.append((f, mell))
+        mdb = log_to_db * mell
+        print(
+            f"{f}: frames={mell.shape[0]} bands={mell.shape[1]} "
+            f"max={np.max(mdb):.1f}dB mean={np.mean(mdb):.1f}dB min={np.min(mdb):.1f}dB",
+            file=sys.stderr,
+        )
+
+    if diff_mel and len(mels) >= 2:
+        T = min(m.shape[0] for _, m in mels)
+        d = log_to_db * np.mean(np.abs(mels[0][1][:T] - mels[1][1][:T]))
+        print(f"mel-L1 diff {mels[0][0]} vs {mels[1][0]}: {d:.3f} dB")
+
+    if output:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = len(mels) + (1 if (diff_mel and len(mels) >= 2) else 0)
+        fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False)
+        for i, (f, mell) in enumerate(mels):
+            mdb = log_to_db * mell.T
+            vmax = np.max(mdb)
+            axes[i][0].imshow(mdb, origin="lower", aspect="auto", vmin=vmax - max_atten, vmax=vmax)
+            axes[i][0].set_title(os.path.basename(f))
+        if diff_mel and len(mels) >= 2:
+            T = min(m.shape[0] for _, m in mels)
+            dd = log_to_db * (mels[0][1][:T] - mels[1][1][:T]).T
+            axes[-1][0].imshow(dd, origin="lower", aspect="auto")
+            axes[-1][0].set_title("diff (dB)")
+        fig.tight_layout()
+        fig.savefig(output)
+        print(f"wrote {output}", file=sys.stderr)
+
+
+def cli():
+    from ..platform import apply_platform_override
+
+    apply_platform_override()
+    from argparse import ArgumentParser
+
+    parser = ArgumentParser(description="view/diff mel spectrograms from audio or .mell files")
+    parser.add_argument("--infiles", nargs="+", required=True)
+    parser.add_argument("--model_id", default="VOICE", nargs="?", const="")
+    parser.add_argument("-o", "--output", default=None, help="write a PNG instead of just stats")
+    parser.add_argument("-d", "--diff_mel", action="store_true")
+    parser.add_argument("-r", "--max_atten", default=50, type=int)
+    parser.add_argument("-a", "--cargs", default=None, nargs="+",
+                        help="config overrides with ':' as field separator")
+    args = parser.parse_args()
+    main(**vars(args))
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,56 @@
+"""Parameter-tree persistence: flat .npz of slash-joined tree paths.
+
+This is the framework's native light-weight checkpoint format for inference
+models (the reference's equivalent artefact is the Keras `weights.tf` bundle,
+mel_inverter.py:206-210).  Orbax handles training checkpoints; this format is
+dependency-free and memory-maps fast for serving.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for path, value in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_params(path: str, params) -> None:
+    flat = _flatten(params)
+    np.savez(path, **flat)
+
+
+def load_params(path: str):
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = _unflatten(flat)
+    return _restore_scalars(tree)
+
+
+def _restore_scalars(tree):
+    """npz stores python bools as 0-d arrays; restore the _equalized_lr flag."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k == "_equalized_lr":
+                out[k] = bool(v)
+            else:
+                out[k] = _restore_scalars(v)
+        return out
+    return tree

@@ -1,0 +1,187 @@
+"""End-to-end numerical parity: the full reference PaNWaveNet (TF, randomly
+initialised) vs our JAX model with converted weights, on the authored SPEECH
+config."""
+import copy
+
+import numpy as np
+import pytest
+
+from .reference_oracle import require_reference
+from .tf_weight_map import pan_wavenet_params
+
+import jax
+import jax.numpy as jnp
+
+import mbexwn_vocoder_tpu as mv
+from mbexwn_vocoder_tpu.config import read_config
+from mbexwn_vocoder_tpu.models import create_model
+
+
+def _oracle_hparams():
+    """Shared config tweaks so both implementations are deterministic and
+    runnable as oracle: no noise channel (random), no mel-RMS normalisation
+    (the reference's no-smooth branch reduces over the wrong axis), wavetable
+    trainable flag pinned (modern keras rejects None)."""
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    mc["normalize_rms_from_mell"] = False
+    # smaller net for test runtime; architecture shape unchanged
+    mc["pp_mod_subnet"]["n_channels"] = 32
+    mc["pp_mod_subnet"]["n_layers"] = 4
+    mc["pp_mod_subnet"]["n_out_channels"] = 8
+    return hp
+
+
+@pytest.fixture(scope="module")
+def models_and_params():
+    require_reference()
+    import tensorflow as tf
+    from MBExWN_NVoc.vocoder.model.models import create_model as ref_create_model
+
+    tf.random.set_seed(0)
+    hp = _oracle_hparams()
+    hp_ref = copy.deepcopy(hp)
+    hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+
+    ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
+                                    quiet=True, use_tf25_compatible_implementation=True)
+    ref_model.build_model(variable_time_dim=True)
+
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    params = pan_wavenet_params(ref_model, model, jnp)
+    return ref_model, model, params, hp
+
+
+def test_wavetables_match(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    wt_ref = np.asarray(ref_model.block.pulse_generator.wavetables)
+    np.testing.assert_allclose(np.asarray(model.block.wavetable.wavetables), wt_ref, rtol=1e-5, atol=1e-6)
+    assert model.block.stft_win_size == ref_model.block.stft_win_size
+    assert model.block.fft_size == ref_model.block.fft_size
+    assert model.block.spect_to_pulse_upsampling_factor == ref_model.block.spect_to_pulse_upsampling_factor
+
+
+def test_generate_f0_parity(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    rng = np.random.RandomState(0)
+    mel = (rng.randn(2, 12, 80) * 0.5 - 4.0).astype(np.float32)
+    f0_ref = ref_model.block.generate_f0(mel).numpy()
+    f0 = np.asarray(model.block.generate_f0(params, jnp.asarray(mel)))
+    assert f0.shape == f0_ref.shape
+    np.testing.assert_allclose(f0, f0_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_generate_excitation_parity(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    rng = np.random.RandomState(1)
+    T_mel = 10
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+    f0 = (120 + 30 * np.sin(np.linspace(0, 6, T_mel * 150))).astype(np.float32)[None]
+    exc_ref = ref_model.block.generate_excitation(mel, f0).numpy()
+    exc = np.asarray(model.block.generate_excitation(params, jnp.asarray(mel), jnp.asarray(f0)))
+    assert exc.shape == exc_ref.shape
+    rel = np.sqrt(np.mean((exc - exc_ref) ** 2) / (np.mean(exc_ref**2) + 1e-12))
+    assert rel < 5e-4, rel
+
+
+def test_generate_specenv_parity(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    rng = np.random.RandomState(2)
+    T_mel = 10
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+    f0 = (180 + 60 * np.sin(np.linspace(0, 4, T_mel * 150))).astype(np.float32)[None]
+    env_ref = ref_model.block.generate_specenv(mel, tf_pf(f0)).numpy()
+    env = np.asarray(model.block.generate_specenv(params, jnp.asarray(mel), jnp.asarray(f0)))
+    assert env.shape == env_ref.shape
+    np.testing.assert_allclose(np.abs(env), np.abs(env_ref), rtol=2e-3, atol=2e-4)
+
+
+def tf_pf(x):
+    import tensorflow as tf
+
+    return tf.constant(x)
+
+
+def test_full_infer_parity(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    rng = np.random.RandomState(3)
+    T_mel = 12
+    hop = hp["preprocess_config"]["hop_size"]
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+
+    y_ref = ref_model.infer(mel, synth_length=T_mel * hop).numpy()
+    y = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * hop))
+    assert y.shape == y_ref.shape
+    rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
+    assert rel < 1e-3, rel
+
+
+def test_infer_components_api(models_and_params):
+    ref_model, model, params, hp = models_and_params
+    rng = np.random.RandomState(4)
+    T_mel = 8
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+    F0, exc, env, rms = model.infer_components(params, jnp.asarray(mel))
+    assert F0.shape == (1, T_mel * 150)
+    assert exc.shape == (1, T_mel * 300)
+    assert env.shape[1] == T_mel
+    assert model.has_components
+
+    # transposition rescales F0
+    F0t, *_ = model.infer_components(params, jnp.asarray(mel), transposition_factor=2.0)
+    np.testing.assert_allclose(np.asarray(F0t), 2.0 * np.asarray(F0), rtol=1e-6)
+
+
+def test_batch_consistency(models_and_params):
+    """batch-1 vs batch-N equality (SURVEY §4 property test)."""
+    _, model, params, hp = models_and_params
+    rng = np.random.RandomState(5)
+    T_mel = 8
+    mel = (rng.randn(3, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+    yb = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * 300))
+    for i in range(3):
+        yi = np.asarray(model.infer(params, jnp.asarray(mel[i : i + 1]), synth_length=T_mel * 300))
+        np.testing.assert_allclose(yb[i : i + 1], yi, rtol=1e-4, atol=1e-5)
+
+
+def test_jit_infer(models_and_params):
+    """The full synthesis jits to one XLA program and matches eager."""
+    _, model, params, hp = models_and_params
+    rng = np.random.RandomState(6)
+    T_mel = 8
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+
+    fn = jax.jit(lambda p, m: model.infer(p, m, synth_length=T_mel * 300))
+    y_jit = np.asarray(fn(params, jnp.asarray(mel)))
+    y_eager = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * 300))
+    # XLA fusion reassociates fp ops (exp/tanh in the envelope path); bound
+    # the divergence rather than demanding bit-equality
+    np.testing.assert_allclose(y_jit, y_eager, rtol=1e-3, atol=5e-4)
+
+
+def test_noise_channel_runs():
+    """Noise channel path (non-zero sigma) runs and is rng-deterministic."""
+    hp = _oracle_hparams()
+    hp["mbexwn_config"]["pp_mod_subnet_noise_channel_sigma"] = 0.5
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(7).randn(1, 8, 80).astype(np.float32) * 0.5 - 4)
+    y1 = model.infer(params, mel, synth_length=2400, rng=jax.random.PRNGKey(1))
+    y2 = model.infer(params, mel, synth_length=2400, rng=jax.random.PRNGKey(1))
+    y3 = model.infer(params, mel, synth_length=2400, rng=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=0, atol=0)
+    assert np.abs(np.asarray(y1) - np.asarray(y3)).max() > 0
+
+
+def test_norm_mel_infer_runs():
+    """normalize_rms_from_mell path produces finite audio at the right length."""
+    hp = _oracle_hparams()
+    hp["mbexwn_config"]["normalize_rms_from_mell"] = True
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(8).randn(1, 8, 80).astype(np.float32) * 0.5 - 4)
+    y = np.asarray(model.infer(params, mel, synth_length=2400))
+    assert y.shape == (1, 2400)
+    assert np.all(np.isfinite(y))

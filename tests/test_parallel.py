@@ -1,0 +1,98 @@
+"""Parallelism tests on the virtual 8-device CPU mesh: DP batch synthesis and
+chunked streaming vs one-shot equality (SURVEY §4 property tests)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mbexwn_vocoder_tpu as mv
+from mbexwn_vocoder_tpu.config import read_config
+from mbexwn_vocoder_tpu.models import create_model
+from mbexwn_vocoder_tpu.parallel import BatchSynthesizer, StreamingSynthesizer, make_mesh
+
+
+def _small_model(noise_sigma=0.0):
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"]["n_channels"] = 16
+    mc["pp_mod_subnet"]["n_layers"] = 3
+    mc["pp_mod_subnet"]["n_out_channels"] = 8
+    mc["pp_mod_subnet_noise_channel_sigma"] = noise_sigma
+    mc["normalize_rms_from_mell"] = False
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    return _small_model()
+
+
+def test_batch_synthesizer_dp(model_params):
+    model, params = model_params
+    mesh = make_mesh(n_data=8)
+    rng = np.random.RandomState(0)
+    mells = [
+        (rng.randn(T, 80) * 0.5 - 4).astype(np.float32)
+        for T in (20, 35, 35, 50, 20, 28, 35, 50, 20, 31)
+    ]
+    bs_dp = BatchSynthesizer(model, params, mesh=mesh, length_buckets=(32, 64))
+    bs_1 = BatchSynthesizer(model, params, mesh=None, length_buckets=(32, 64))
+    with mesh:
+        out_dp = bs_dp.synth_batch(mells)
+    out_1 = bs_1.synth_batch(mells)
+    assert len(out_dp) == len(mells)
+    for y_dp, y_1, m in zip(out_dp, out_1, mells):
+        assert y_dp.shape == (m.shape[0] * 300,)
+        np.testing.assert_allclose(y_dp, y_1, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_matches_one_shot(model_params):
+    """Chunked synthesis with phase carry == one-shot, up to fp32 cumsum noise."""
+    model, params = model_params
+    rng = np.random.RandomState(1)
+    T = 96  # 1.2 s
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+
+    y_one = np.asarray(model.infer(params, jnp.asarray(mell), synth_length=T * 300))
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+    y_chunk = ss.synth(mell)
+    assert y_chunk.shape == y_one.shape
+    rel = np.sqrt(np.mean((y_chunk - y_one) ** 2) / (np.mean(y_one**2) + 1e-12))
+    assert rel < 2e-3, rel
+
+
+def test_streaming_long_form(model_params):
+    """Long-form (~8 s here; the 60 s production case is the same program
+    repeated) runs in constant memory per chunk and stays finite/continuous."""
+    model, params = model_params
+    rng = np.random.RandomState(2)
+    T = 640
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    ss = StreamingSynthesizer(model, params, chunk_frames=128, halo_frames=24)
+    y = ss.synth(mell)
+    assert y.shape == (1, T * 300)
+    assert np.all(np.isfinite(y))
+    # only 2-3 distinct chunk shapes were compiled
+    assert len(ss._jitted) <= 3
+
+
+def test_phase_offset_continuity(model_params):
+    """The phase_offset plumbing: synthesizing [0,T) equals synthesizing
+    [0,T/2) + [T/2,T) with the carried phase, for the pure oscillator."""
+    model, params = model_params
+    blk = model.block
+    rng = np.random.RandomState(3)
+    f0 = (150 + 30 * np.abs(np.sin(np.linspace(0, 5, 6000)))).astype(np.float32)[None]
+
+    full = np.asarray(blk._oscillate(params, jnp.asarray(f0)))
+    h = 3000
+    a = np.asarray(blk._oscillate(params, jnp.asarray(f0[:, :h])))
+    carry = np.mod(np.sum(f0[:, :h].astype(np.float64), axis=1) / blk.pulse_rate, 1.0)
+    b = np.asarray(
+        blk._oscillate(params, jnp.asarray(f0[:, h:]), phase_offset=jnp.asarray(carry, dtype=jnp.float32))
+    )
+    stitched = np.concatenate([a, b], axis=1)
+    np.testing.assert_allclose(stitched, full, rtol=1e-3, atol=5e-3)

@@ -1,0 +1,148 @@
+"""Training subsystem tests: loss parity vs the reference, trainer smoke,
+and DP-equals-single-device."""
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mbexwn_vocoder_tpu as mv
+from mbexwn_vocoder_tpu.config import read_config
+from mbexwn_vocoder_tpu.models import create_model
+from mbexwn_vocoder_tpu.training import SpectLossComponents, Trainer
+from mbexwn_vocoder_tpu.training.losses import f0_pred_loss_mask, f0_rec_loss_mask
+
+from .reference_oracle import require_reference
+
+
+def _small_hparams():
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"]["n_channels"] = 16
+    mc["pp_mod_subnet"]["n_layers"] = 2
+    mc["pp_mod_subnet"]["n_out_channels"] = 8
+    mc["normalize_rms_from_mell"] = False
+    mc["pp_F0_loss_weight"] = 1.0
+    mc["pp_teacher_forcing_schedule"] = {"initial": 0.5}
+    mc["stft_coh_loss_weight"] = 0.1
+    return hp
+
+
+def test_spect_loss_parity_with_reference():
+    require_reference()
+    from MBExWN_NVoc.vocoder.model.wavegen_1d import SpectLossComponents as RefSLC
+
+    hp = _small_hparams()
+    tc, pc = hp["training_config"], hp["preprocess_config"]
+
+    ref = RefSLC(tc, pc, quiet=True)
+    # the shipped reference never sets these two attributes (set only in the
+    # unshipped trainer); provide them so the oracle path runs
+    ref.NPOW_loss_weight = tc["spect_loss_config"]["NPOW_loss_weight"]
+    ref.log_db_fac = 20 * np.log10(2) / np.log(2)
+
+    ours = SpectLossComponents(tc, pc)
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 4800).astype(np.float32) * 0.1
+    b = (a + 0.05 * rng.randn(2, 4800)).astype(np.float32)
+
+    mel_ref, spect_ref, npow_ref = ref.calc_losses(a[:, :, None], b[:, :, None])
+    ours_losses = ours.calc_losses(jnp.asarray(a), jnp.asarray(b))
+
+    np.testing.assert_allclose(float(ours_losses["spect_loss"]), float(spect_ref), rtol=2e-4)
+    np.testing.assert_allclose(float(ours_losses["NPOW_loss"]), float(npow_ref), rtol=2e-4)
+    np.testing.assert_allclose(float(ours_losses["mel_loss"]), float(mel_ref), rtol=2e-4)
+
+
+def test_f0_masks():
+    """Mask semantics: unvoiced/voiced segments dilated by the limit length."""
+    f0 = np.zeros((1, 40), np.float32)
+    f0[0, 10:30] = 100.0
+    limit = 3
+    pred = np.asarray(f0_pred_loss_mask(jnp.asarray(f0), limit))
+    rec = np.asarray(f0_rec_loss_mask(jnp.asarray(f0), limit))
+    # pred mask: voiced eroded by `limit` on both sides
+    expected_pred = np.zeros((1, 40), np.float32)
+    expected_pred[0, 10 + limit : 30 - limit] = 1.0
+    np.testing.assert_array_equal(pred, expected_pred)
+    # rec mask: voiced dilated by `limit` on both sides
+    expected_rec = np.zeros((1, 40), np.float32)
+    expected_rec[0, 10 - limit : 30 + limit] = 1.0
+    np.testing.assert_array_equal(rec, expected_rec)
+
+
+@pytest.fixture(scope="module")
+def trainer_setup():
+    hp = _small_hparams()
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    trainer = Trainer(model, hp)
+    state = trainer.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=2)
+    rng = np.random.RandomState(1)
+    T_mel, hop = 8, hp["preprocess_config"]["hop_size"]
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, T_mel * hop).astype(np.float32) * 0.1),
+        "mel": jnp.asarray((rng.randn(2, T_mel, 80) * 0.5 - 4).astype(np.float32)),
+        "F0": jnp.asarray(np.tile((120 + 10 * rng.randn(2, T_mel * hop)).astype(np.float32), (1, 1))),
+    }
+    return trainer, state, batch
+
+
+def test_train_step_runs_and_updates(trainer_setup):
+    trainer, state, batch = trainer_setup
+    new_state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "spect_loss" in metrics and "F0_loss" in metrics and "stft_coh_loss" in metrics
+    assert int(new_state.step) == 1
+    # params actually moved
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.abs(np.asarray(leaf0) - np.asarray(leaf1)).max() > 0
+
+
+def test_grads_finite(trainer_setup):
+    trainer, state, batch = trainer_setup
+    (loss, metrics), grads = jax.value_and_grad(trainer.loss_fn, has_aux=True)(
+        state.params, batch, jnp.int32(0), jax.random.PRNGKey(3)
+    )
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_dp_matches_single_device(trainer_setup):
+    """DP over an 8-device CPU mesh gives the same loss/params as one device."""
+    from jax.sharding import Mesh
+
+    trainer, state, batch = trainer_setup
+    hp = trainer.hparams
+
+    # batch of 8 so each device gets one sample
+    rng = np.random.RandomState(4)
+    T_mel, hop = 8, hp["preprocess_config"]["hop_size"]
+    big_batch = {
+        "audio": jnp.asarray(rng.randn(8, T_mel * hop).astype(np.float32) * 0.1),
+        "mel": jnp.asarray((rng.randn(8, T_mel, 80) * 0.5 - 4).astype(np.float32)),
+        "F0": jnp.asarray((120 + 10 * rng.randn(8, T_mel * hop)).astype(np.float32)),
+    }
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "tests must run with xla_force_host_platform_device_count=8"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    tr_dp = Trainer(model, hp, mesh=mesh)
+    tr_single = Trainer(model, hp, mesh=None)
+
+    state0 = tr_single.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=8)
+    state0b = tr_single.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=8)
+
+    with mesh:
+        s_dp, m_dp = tr_dp.jitted_train_step()(state0, big_batch, jax.random.PRNGKey(5))
+    s_1, m_1 = tr_single.jitted_train_step()(state0b, big_batch, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m_dp["total_loss"]), float(m_1["total_loss"]), rtol=2e-5)
+    l_dp = jax.tree_util.tree_leaves(s_dp.params)[0]
+    l_1 = jax.tree_util.tree_leaves(s_1.params)[0]
+    np.testing.assert_allclose(np.asarray(l_dp), np.asarray(l_1), rtol=1e-4, atol=1e-6)
