@@ -1,5 +1,15 @@
-"""Map a built TF reference PaNWaveNet's weights onto the JAX model's param
-tree.  Used by parity tests and as the core of the checkpoint converter."""
+"""Map a built reference (TF) PaNWaveNet's weights onto this framework's
+parameter tree.
+
+The reference stores weight-normalized convs as (v, g, bias) with kernel
+layout (width, in, out) (conv_layers.py:85-103) -- identical to this
+framework's storage, so conversion is a structural walk, no transposes.
+Checkpoints contain legacy dead variables from abandoned losses
+(wavegen_1d.py:84-86); walking the live model object tree skips them
+naturally.
+"""
+from __future__ import annotations
+
 import numpy as np
 
 
@@ -16,10 +26,14 @@ def conv_params(ref_layer, jnp):
 
 
 def subnet_params(ref_layers, our_seq, jnp):
-    """Zip reference subnet layer list with our Sequential (same builder order)."""
+    """Zip a reference subnet layer list with our Sequential (the two builders
+    emit layers in the same order; generate_subnet_from_specs parity)."""
     params = {}
-    assert len(ref_layers) == len(our_seq.layers), (
-        [l.name for l in ref_layers], [l.name for l in our_seq.layers])
+    if len(ref_layers) != len(our_seq.layers):
+        raise RuntimeError(
+            f"subnet structure mismatch: {[l.name for l in ref_layers]} vs "
+            f"{[l.name for l in our_seq.layers]}"
+        )
     for rl, ol in zip(ref_layers, our_seq.layers):
         cls = rl.__class__.__name__
         if "Conv1D" in cls:

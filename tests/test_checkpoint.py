@@ -1,0 +1,83 @@
+"""Checkpoint tests: weights.tf conversion round trip and native npz IO."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mbexwn_vocoder_tpu as mv
+from mbexwn_vocoder_tpu.config import read_config, dump_config
+from mbexwn_vocoder_tpu.models import create_model
+from mbexwn_vocoder_tpu.compat.params_io import save_params, load_params
+
+from .reference_oracle import require_reference
+
+
+def _small_hp():
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"]["n_channels"] = 16
+    mc["pp_mod_subnet"]["n_layers"] = 2
+    mc["pp_mod_subnet"]["n_out_channels"] = 8
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    mc["normalize_rms_from_mell"] = False
+    return hp
+
+
+def test_params_npz_roundtrip(tmp_path):
+    hp = _small_hp()
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    path = str(tmp_path / "weights.npz")
+    save_params(path, params)
+    restored = load_params(path)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                  sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_weights_tf_conversion_roundtrip(tmp_path):
+    """Save a reference model's weights.tf, convert via convert_model_dir,
+    load through MELInverter, and check output parity vs the TF model."""
+    require_reference()
+    import tensorflow as tf
+    from MBExWN_NVoc.vocoder.model.models import create_model as ref_create_model
+
+    from mbexwn_vocoder_tpu.compat.tf_checkpoint import convert_model_dir
+    from mbexwn_vocoder_tpu.mel_inverter import MELInverter
+
+    hp = _small_hp()
+    hp_ref = copy.deepcopy(hp)
+    hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+
+    tf.random.set_seed(1)
+    ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
+                                    quiet=True, use_tf25_compatible_implementation=True)
+    ref_model.build_model(variable_time_dim=True)
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    ref_model.save_weights(os.path.join(model_dir, "weights.tf"))
+    # the converter instantiates the reference model from config.yaml; pin the
+    # wavetable trainable flag there too (modern keras rejects None)
+    dump_config(os.path.join(model_dir, "config.yaml"), hp_ref)
+
+    out = convert_model_dir(model_dir)
+    assert out.endswith("weights.npz") and os.path.exists(out)
+
+    inv = MELInverter(model_dir)
+    rng = np.random.RandomState(0)
+    T_mel = 10
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+    y = np.asarray(inv.model.infer(inv.params, jnp.asarray(mel), synth_length=T_mel * 300))
+    y_ref = ref_model.infer(mel, synth_length=T_mel * 300).numpy()
+    rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
+    assert rel < 1e-3, rel

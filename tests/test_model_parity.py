@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from .reference_oracle import require_reference
-from .tf_weight_map import pan_wavenet_params
+from mbexwn_vocoder_tpu.compat.tf_weight_map import pan_wavenet_params
 
 import jax
 import jax.numpy as jnp
