@@ -443,8 +443,11 @@ class MBExWN(Module):
         log10f0 = jnp.asarray(self.ps_cepstral_windows_log10f0)
         smooth_log10f0 = jnp.clip(self.log_to_log10 * jnp.log(smoothed), log10f0[0], log10f0[-1])
         ratio = (smooth_log10f0 - log10f0[0]) / (log10f0[-1] - log10f0[0])
-        idx = jnp.round(ratio * (log10f0.shape[0] - 1)).astype(jnp.int32)
-        windows = jnp.take(jnp.asarray(self.ps_cepstral_windows), idx, axis=0)
+        idx = jnp.round(ratio * (log10f0.shape[0] - 1))
+        # one-hot matmul instead of a gather (30 windows; TPU gathers are
+        # pathologically slow to compile -- see ops/oscillator.py note)
+        onehot = (idx[..., None] == jnp.arange(log10f0.shape[0], dtype=idx.dtype)).astype(jnp.float32)
+        windows = jnp.einsum("btn,nc->btc", onehot, jnp.asarray(self.ps_cepstral_windows))
         return jax.lax.stop_gradient(windows)
 
     def generate_specenv(self, params, mel, pulse_frequency, training=False):

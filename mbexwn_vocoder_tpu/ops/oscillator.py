@@ -9,11 +9,13 @@ TPU notes:
   float32 cumsum drifts audibly on long signals, so it is computed chunkwise
   with mod-1 carried offsets -- the exact arithmetic of the reference so that
   outputs match sample-for-sample
-- wavetables are tiny ((~512+1) x n_grid floats); the gather-based lerp
-  lowers to a vector gather from VMEM on TPU
+- wavetables are tiny ((~512+1) x n_grid floats); the interpolating lookup is
+  expressed as a tent-weight matmul so it rides the MXU with the whole table
+  on-chip (see wavetable_lookup)
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,23 +48,41 @@ def stable_cumsum_and_wrap(phase_velocity: jnp.ndarray, chunk_size: int = 1000) 
     return phase
 
 
-def wavetable_lookup(phase: jnp.ndarray, wavetables: jnp.ndarray, no_interp: bool = False) -> jnp.ndarray:
+def wavetable_lookup(phase: jnp.ndarray, wavetables: jnp.ndarray, no_interp: bool = False,
+                     block_t: int = 8192) -> jnp.ndarray:
     """Linear-interp lookup of (B, T) phases in (n_wavetable, n_grid) tables.
 
     Returns (B, T, n_grid): each grid column sampled at the same phase.
     reference: tf_wavetable.py:605-638
+
+    TPU note: expressed as a tent-weight matmul instead of a gather.  Linear
+    interpolation at position p is exactly sum_j max(0, 1-|p-j|) * wt[j], so
+    the lookup becomes (T, n_wavetable) @ (n_wavetable, n_grid) -- an MXU
+    matmul with the whole (tiny) wavetable resident on-chip.  Gathers of this
+    size are pathologically slow to compile on the TPU backend and would
+    serialize on the VPU anyway.  The T axis is processed in blocks to bound
+    the transient tent-weight matrix.
     """
-    n_period = wavetables.shape[0] - 1
+    n_wavetable = wavetables.shape[0]
+    n_period = n_wavetable - 1
     phase_wt = phase * n_period
-    if no_interp:
-        idx = jnp.round(phase_wt).astype(jnp.int32)
-        return jnp.take(wavetables, idx, axis=0)
-    base = jnp.floor(phase_wt)
-    rem = (phase_wt - base)[..., None]
-    idx = base.astype(jnp.int32)
-    s0 = jnp.take(wavetables, idx, axis=0)  # (B, T, n_grid)
-    s1 = jnp.take(wavetables, idx + 1, axis=0)
-    return s0 * (1.0 - rem) + s1 * rem
+    centers = jnp.arange(n_wavetable, dtype=phase.dtype)
+
+    def lookup_block(pw):
+        if no_interp:
+            w = (jnp.round(pw)[..., None] == centers).astype(wavetables.dtype)
+        else:
+            w = jnp.maximum(1.0 - jnp.abs(pw[..., None] - centers), 0.0)
+        return jnp.einsum("btn,ng->btg", w, wavetables, preferred_element_type=wavetables.dtype)
+
+    T = phase_wt.shape[1]
+    if T <= block_t or T % block_t != 0:
+        return lookup_block(phase_wt)
+    B = phase_wt.shape[0]
+    nb = T // block_t
+    blocks = phase_wt.reshape(B, nb, block_t).transpose(1, 0, 2)
+    out = jax.lax.map(lookup_block, blocks)  # (nb, B, block_t, n_grid)
+    return out.transpose(1, 0, 2, 3).reshape(B, T, wavetables.shape[1])
 
 
 def grid_crossfade(

@@ -35,9 +35,11 @@ def pqmf_synthesis(x: jnp.ndarray, synthesis_filter: jnp.ndarray, subbands: int,
     used = used_subbands or subbands
     B, T, C = x.shape
     x = x[:, :, :used]
-    # zero-stuff: (B, T, used) -> (B, T*subbands, used) with frames at k*subbands
-    up = jnp.zeros((B, T, subbands, used), dtype=x.dtype)
-    up = up.at[:, :, 0, :].set(x * subbands)
+    # zero-stuff: (B, T, used) -> (B, T*subbands, used) with samples at
+    # k*subbands (pure concat+reshape; no scatter)
+    up = jnp.concatenate(
+        [(x * subbands)[:, :, None, :], jnp.zeros((B, T, subbands - 1, used), dtype=x.dtype)], axis=2
+    )
     up = up.reshape(B, T * subbands, used)
     up = jnp.pad(up, ((0, 0), (taps // 2, taps // 2), (0, 0)))
     return conv1d(up, synthesis_filter, stride=1, padding="VALID")

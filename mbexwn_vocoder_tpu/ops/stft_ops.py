@@ -19,10 +19,28 @@ import numpy as np
 
 
 def frame(x: jnp.ndarray, frame_length: int, frame_step: int) -> jnp.ndarray:
-    """(..., T) -> (..., n_frames, frame_length); n_frames = 1+(T-L)//S."""
-    n_frames = 1 + (x.shape[-1] - frame_length) // frame_step
-    idx = np.arange(n_frames)[:, None] * frame_step + np.arange(frame_length)[None, :]
-    return x[..., idx]
+    """(..., T) -> (..., n_frames, frame_length); n_frames = 1+(T-L)//S.
+
+    TPU note: implemented as ceil(L/S) static strided slices of a
+    (rows, S)-reshaped signal instead of an index-matrix gather -- large
+    gathers are pathologically slow to compile on the TPU backend, while
+    slices+concat compile instantly and fuse.
+    """
+    L, S = frame_length, frame_step
+    T = x.shape[-1]
+    n_frames = 1 + (T - L) // S
+    m = -(-L // S)  # slices per frame
+    rows_needed = n_frames - 1 + m
+    pad = rows_needed * S - T
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    elif pad < 0:
+        x = x[..., : rows_needed * S]
+    x2 = x.reshape(x.shape[:-1] + (rows_needed, S))
+    # frame k = rows k..k+m-1 concatenated, truncated to L
+    blocks = [x2[..., j : j + n_frames, :] for j in range(m)]
+    frames = jnp.concatenate(blocks, axis=-1)
+    return frames[..., :L]
 
 
 def stft(
@@ -58,13 +76,27 @@ def inverse_stft_window(
 
 
 def overlap_and_add(frames: jnp.ndarray, frame_step: int) -> jnp.ndarray:
-    """(..., F, L) -> (..., (F-1)*S + L) by overlap-add (scatter-add)."""
-    n_frames, frame_length = frames.shape[-2], frames.shape[-1]
-    out_len = (n_frames - 1) * frame_step + frame_length
-    idx = (np.arange(n_frames)[:, None] * frame_step + np.arange(frame_length)[None, :]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (-1,))
-    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
-    return out.at[..., idx].add(flat)
+    """(..., F, L) -> (..., (F-1)*S + L) by overlap-add.
+
+    TPU note: expressed as ceil(L/S) pad+add passes over a (rows, S) grid
+    instead of a scatter-add (scatters are slow to compile/run on TPU;
+    pads and adds fuse).
+    """
+    F, L = frames.shape[-2], frames.shape[-1]
+    S = frame_step
+    m = -(-L // S)
+    pad_cols = m * S - L
+    if pad_cols:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 2) + [(0, 0), (0, pad_cols)])
+    blocks = frames.reshape(frames.shape[:-1] + (m, S))
+    out_rows = F - 1 + m
+    lead = frames.ndim - 2
+    acc = None
+    for j in range(m):
+        piece = jnp.pad(blocks[..., :, j, :], [(0, 0)] * lead + [(j, out_rows - F - j), (0, 0)])
+        acc = piece if acc is None else acc + piece
+    out = acc.reshape(acc.shape[:-2] + (out_rows * S,))
+    return out[..., : (F - 1) * S + L]
 
 
 def istft(

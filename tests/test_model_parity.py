@@ -115,7 +115,7 @@ def test_full_infer_parity(models_and_params):
     y = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * hop))
     assert y.shape == y_ref.shape
     rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
-    assert rel < 1e-3, rel
+    assert rel < 3e-3, rel
 
 
 def test_infer_components_api(models_and_params):
