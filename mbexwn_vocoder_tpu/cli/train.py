@@ -1,0 +1,130 @@
+"""CLI: train an MBExWN model (the trainer the reference family was designed
+for but never shipped -- SURVEY §1).
+
+Data parallelism: pass --n_devices > 1 to shard the batch over a device mesh
+(all local devices by default when n_devices == 0).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices=1,
+         save_every=None, log_every=50, seed=42, cargs=None, resume=True, num_workers=2):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import get_config_file
+    from ..config import config_utils as cutils
+    from ..models.factory import create_model
+    from ..observability import MetricsLogger, model_summary
+    from ..training.checkpointing import CheckpointManager
+    from ..training.data import PrefetchLoader, SegmentDataset
+    from ..training.trainer import Trainer
+
+    hparams = cutils.read_config(get_config_file(model_id_or_path=model_id))
+    if cargs:
+        cutils.modify_config(hparams, cargs)
+    tc = hparams["training_config"]
+    pc = hparams["preprocess_config"]
+    cc = hparams["checkpoint_config"]
+    batch_size = batch_size or tc["train_batch_size"]
+    save_every = save_every or cc.get("save_model_every", 2000)
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    mesh = None
+    if n_devices != 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        n = len(devs) if n_devices == 0 else n_devices
+        mesh = Mesh(np.array(devs[:n]), ("data",))
+        if batch_size % n:
+            raise RuntimeError(f"batch_size {batch_size} must be divisible by n_devices {n}")
+
+    model, _ = create_model(hparams, tc, pc, quiet=True)
+    trainer = Trainer(model, hparams, mesh=mesh)
+    T_mel = pc["segment_length"] // pc["hop_size"] + 1
+    state = trainer.init_state(jax.random.PRNGKey(seed), T_mel=8, batch_size=batch_size)
+
+    ckpt = CheckpointManager(os.path.join(output_dir, cc.get("checkpoint_dir", "checkpoints")),
+                             max_to_keep=cc.get("max_to_keep", 5))
+    if resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    model_summary(model, state.params, T_mel=T_mel, print_fn=lambda s: print(s, file=sys.stderr))
+
+    dataset = SegmentDataset(data_dir, pc, seed=seed)
+    loader = PrefetchLoader(dataset, batch_size, num_workers=num_workers)
+    logger = MetricsLogger(os.path.join(output_dir, cc.get("log_dir", "logs")))
+
+    step_fn = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(seed + 1)
+    t_last = time.time()
+    try:
+        for batch in loader:
+            if int(state.step) >= steps:
+                break
+            rng, sub = jax.random.split(rng)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                with mesh:
+                    state, metrics = step_fn(state, jb, sub)
+            else:
+                state, metrics = step_fn(state, jb, sub)
+            step = int(state.step)
+            if step % log_every == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.log(step, m)
+                dt = time.time() - t_last
+                t_last = time.time()
+                loss_str = " ".join(f"{k}:{v:7.4f}" for k, v in sorted(m.items()))
+                print(f"step {step:7d} ({dt:5.1f}s/{log_every}) {loss_str}", file=sys.stderr)
+            if step % save_every == 0:
+                ckpt.save(step, state)
+    finally:
+        loader.close()
+
+    ckpt.save(int(state.step), state)
+    # export inference weights
+    from ..compat.params_io import save_params
+
+    save_params(os.path.join(output_dir, "weights.npz"), state.params)
+    cutils.dump_config(os.path.join(output_dir, "config.yaml"), hparams)
+    print(f"exported inference model to {output_dir}", file=sys.stderr)
+
+
+def cli():
+    from ..platform import apply_platform_override
+
+    apply_platform_override()
+    from argparse import ArgumentParser
+
+    parser = ArgumentParser(description="train an MBExWN vocoder model")
+    parser.add_argument("model_id", help="model id or model directory (config source)")
+    parser.add_argument("-d", "--data_dir", required=True, help="directory with training wavs")
+    parser.add_argument("-o", "--output_dir", required=True)
+    parser.add_argument("--steps", type=int, default=10000)
+    parser.add_argument("-b", "--batch_size", type=int, default=None)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="data-parallel device count (0 = all local devices)")
+    parser.add_argument("--save_every", type=int, default=None)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--no_resume", dest="resume", action="store_false")
+    parser.add_argument("-a", "--cargs", default=None, nargs="+",
+                        help="config overrides with ':' as field separator")
+    args = parser.parse_args()
+    main(**vars(args))
+
+
+if __name__ == "__main__":
+    cli()

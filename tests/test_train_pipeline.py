@@ -1,0 +1,138 @@
+"""End-to-end training pipeline: data loader (wav -> mel/F0), train CLI with
+orbax checkpointing, resume, and inference-weight export."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _make_dataset(tmp_path, n_files=2, seconds=1.2):
+    from mbexwn_vocoder_tpu.compat.audio_io import write_wav
+
+    d = tmp_path / "data"
+    d.mkdir(exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n_files):
+        T = int(24000 * seconds)
+        t = np.arange(T) / 24000.0
+        f0 = 120 + 40 * np.sin(2 * np.pi * 0.7 * t + i)
+        phase = np.cumsum(f0) / 24000.0
+        x = 0.4 * np.sin(2 * np.pi * phase) + 0.02 * rng.randn(T)
+        # an unvoiced gap
+        x[T // 3 : T // 3 + 2400] = 0.05 * rng.randn(2400)
+        write_wav(str(d / f"utt{i}.wav"), x.astype(np.float32), 24000)
+    return str(d)
+
+
+def test_f0_estimator_on_known_tone():
+    from mbexwn_vocoder_tpu.dsp.f0 import estimate_f0, upsample_f0
+
+    sr, hop = 24000, 300
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    f0 = estimate_f0(x, sr, hop)
+    mid = f0[10:-10]
+    voiced = mid[mid > 0]
+    assert voiced.size > 0.9 * mid.size
+    assert abs(np.median(voiced) - 220.0) < 3.0
+
+    up = upsample_f0(f0, hop, x.size)
+    assert up.shape == (x.size,)
+
+    # silence is unvoiced
+    f0s = estimate_f0(np.zeros(12000), sr, hop)
+    assert np.all(f0s == 0)
+
+
+def test_segment_dataset(tmp_path):
+    from mbexwn_vocoder_tpu.config import read_config
+    import mbexwn_vocoder_tpu as mv
+    from mbexwn_vocoder_tpu.training.data import SegmentDataset
+
+    data_dir = _make_dataset(tmp_path)
+    pc = read_config(mv.get_config_file("SPEECH"))["preprocess_config"]
+    pc = dict(pc, segment_length=6000)
+    ds = SegmentDataset(data_dir, pc, seed=1)
+    batch = ds.batch(3)
+    assert batch["audio"].shape == (3, 6000)
+    assert batch["mel"].shape == (3, 6000 // 300 + 1, 80)
+    assert batch["F0"].shape == (3, 6000)
+    assert np.all(np.isfinite(batch["mel"]))
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Run the real train CLI for a few steps on a tiny model; check metrics
+    stream, checkpoint creation, resume, and inference-weight export."""
+    from mbexwn_vocoder_tpu.cli.train import main as train_main
+    from mbexwn_vocoder_tpu.mel_inverter import MELInverter
+
+    data_dir = _make_dataset(tmp_path)
+    out_dir = str(tmp_path / "run")
+    cargs = [
+        "mbexwn_config:pp_mod_subnet:n_channels=16",
+        "mbexwn_config:pp_mod_subnet:n_layers=2",
+        "mbexwn_config:pp_mod_subnet:n_out_channels=8",
+        "mbexwn_config:normalize_rms_from_mell=False",
+        "preprocess_config:segment_length=6000",
+    ]
+    train_main("SPEECH", data_dir, out_dir, steps=4, batch_size=2, save_every=2,
+               log_every=1, cargs=cargs, num_workers=1)
+
+    # metrics stream exists and has finite losses
+    mfile = os.path.join(out_dir, "logs", "metrics.jsonl")
+    assert os.path.exists(mfile)
+    recs = [json.loads(l) for l in open(mfile)]
+    assert any(r["step"] == 4 for r in recs)
+    assert all(np.isfinite(r["total_loss"]) for r in recs if "total_loss" in r)
+
+    # checkpoints + export
+    assert os.path.exists(os.path.join(out_dir, "weights.npz"))
+    assert os.path.exists(os.path.join(out_dir, "config.yaml"))
+
+    # resume continues from the saved step
+    train_main("SPEECH", data_dir, out_dir, steps=6, batch_size=2, save_every=2,
+               log_every=1, cargs=cargs, num_workers=1)
+    recs = [json.loads(l) for l in open(mfile)]
+    assert any(r["step"] == 6 for r in recs)
+
+    # the exported directory is a loadable model
+    inv = MELInverter(out_dir)
+    mel = np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
+    y = inv.synth_from_mel(mel)
+    assert y.shape == (8 * 300,)
+    assert np.all(np.isfinite(y))
+
+
+def test_observability_helpers(tmp_path):
+    from mbexwn_vocoder_tpu.observability import MetricsLogger, check_finite, model_summary, dump_controls
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    import mbexwn_vocoder_tpu as mv
+
+    log = MetricsLogger(str(tmp_path), "m")
+    log.log(1, {"a": 1.5, "b": np.float32(2.0)})
+    log.close()
+    recs = [json.loads(l) for l in open(log.path)]
+    assert recs[0]["a"] == 1.5
+
+    with pytest.raises(FloatingPointError):
+        check_finite({"x": np.array([1.0, np.nan])}, "t")
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+    mc["normalize_rms_from_mell"] = False
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    lines = []
+    model_summary(model, params, T_mel=8, print_fn=lines.append)
+    assert any("total params" in l for l in lines)
+
+    mel = np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
+    dump_path = str(tmp_path / "controls.p")
+    data = dump_controls(dump_path, model, params, mel)
+    assert os.path.exists(dump_path)
+    assert data["pulse_frequency"].shape == (1, 8 * 150)
