@@ -62,6 +62,79 @@ def bench_config(model, params, B, T_mel, n_iters=16, n_inputs=4):
     return audio_seconds / dt, compile_s, dt
 
 
+def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48):
+    """MW-VO-FD-class long-form streaming config (BASELINE.md workload 3):
+    chunked synthesis with phase carry; reports audio-s/s including host
+    loop overhead."""
+    import numpy as np
+
+    from mbexwn_vocoder_tpu.parallel import StreamingSynthesizer
+
+    hop = model.spect_hop_size
+    T = int(seconds * model.sample_rate / hop)
+    rng = np.random.RandomState(0)
+    mell = (rng.randn(1, T, 80) * 0.5 - 4.0).astype(np.float32)
+    ss = StreamingSynthesizer(model, params, chunk_frames=chunk_frames, halo_frames=halo_frames)
+    y = ss.synth(mell[:, : 2 * chunk_frames + halo_frames])  # warm both chunk shapes
+    t0 = time.time()
+    y = ss.synth(mell)
+    dt = time.time() - t0
+    return (T * hop / model.sample_rate) / dt, dt
+
+
+def bench_scaling(n_list=(1, 2, 4, 8)):
+    """Weak-scaling harness on a virtual device mesh (one utterance per
+    device, constant per-device work).  On a multi-chip slice the same code
+    measures real ICI scaling; single-chip images exercise it on the CPU
+    backend (8 virtual devices)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    if jax.device_count() < max(n_list):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    import mbexwn_vocoder_tpu as mv
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    hp["mbexwn_config"]["pp_mod_subnet"].update(n_channels=64, n_layers=4, n_out_channels=16)
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(42), batch_size=1, T_mel=8)
+    T_mel = 64
+    rng = np.random.RandomState(0)
+    results = {}
+    base = None
+    for n in n_list:
+        if n > jax.device_count():
+            break
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        mel = jnp.asarray((rng.randn(n, T_mel, 80) * 0.5 - 4).astype(np.float32))
+
+        def fn(params, mel):
+            mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P("data")))
+            return model.infer(params, mel, synth_length=T_mel * model.spect_hop_size)
+
+        with mesh:
+            jfn = jax.jit(fn)
+            y = jfn(params, mel)
+            _ = np.asarray(y[0, :4])
+            t0 = time.time()
+            for _i in range(8):
+                y = jfn(params, mel)
+            _ = np.asarray(y[0, :4])
+            dt = (time.time() - t0) / 8
+        thr = n * T_mel * model.spect_hop_size / model.sample_rate / dt
+        if base is None:
+            base = thr
+        results[n] = {"audio_s_per_s": round(thr, 2), "weak_scaling_eff": round(thr / (base * n), 3)}
+    print(json.dumps({"scaling": results}))
+
+
 def main():
     t_start = time.time()
     import jax
@@ -97,4 +170,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--scaling" in _sys.argv:
+        bench_scaling()
+    elif "--longform" in _sys.argv:
+        import jax as _jax
+
+        from mbexwn_vocoder_tpu.config import read_config as _rc
+        from mbexwn_vocoder_tpu.models import create_model as _cm
+        import mbexwn_vocoder_tpu as _mv
+
+        _hp = _rc(_mv.get_config_file("VOICE"))
+        _model, _ = _cm(_hp, _hp["training_config"], _hp["preprocess_config"], quiet=True)
+        _params = _model.init(_jax.random.PRNGKey(42), batch_size=1, T_mel=8)
+        rtf, dt = bench_longform(_model, _params)
+        print(json.dumps({"metric": "long-form 60s streaming", "value": round(rtf, 1),
+                          "unit": "audio_s/s/chip", "wall_s": round(dt, 2)}))
+    else:
+        main()

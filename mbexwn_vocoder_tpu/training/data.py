@@ -35,7 +35,8 @@ class SegmentDataset:
     """Random fixed-length segments with per-segment mel + F0 targets."""
 
     def __init__(self, data_dir: str, preprocess_config: Dict, seed: int = 0,
-                 fmin_f0: float = 50.0, fmax_f0: float = 600.0, cache_audio: bool = True):
+                 fmin_f0: float = 50.0, fmax_f0: float = 600.0, cache_audio: bool = True,
+                 use_native: bool = True):
         self.files = list_audio_files(data_dir)
         self.pc = dict(preprocess_config)
         self.segment_length = self.pc["segment_length"]
@@ -46,6 +47,22 @@ class SegmentDataset:
         self.fmax_f0 = fmax_f0
         self._cache: Dict[str, np.ndarray] = {}
         self.cache_audio = cache_audio
+
+        # native C++ segment server (native/segment_loader.cc): used when the
+        # whole corpus parses at the model sample rate, else python fallback
+        self._native = None
+        if use_native:
+            try:
+                from ..compat.native_loader import NativeSegmentLoader, available
+
+                if available():
+                    loader = NativeSegmentLoader(self.files, self.segment_length, self.sr, seed=seed)
+                    if loader.n_files == len(self.files):
+                        self._native = loader
+                    else:
+                        loader.close()
+            except Exception:
+                self._native = None
 
     def _load(self, path: str) -> np.ndarray:
         if path in self._cache:
@@ -71,8 +88,18 @@ class SegmentDataset:
         f0 = upsample_f0(f0_frames, self.hop, L)
         return {"audio": seg, "mel": mell[0].astype(np.float32), "F0": f0}
 
+    def _features(self, seg: np.ndarray) -> Dict[str, np.ndarray]:
+        mell, _ = compute_mel_spectrogram_internal(seg[None], preprocess_config=self.pc, do_post=True)
+        f0_frames = estimate_f0(seg, self.sr, self.hop, fmin=self.fmin_f0, fmax=self.fmax_f0)
+        f0 = upsample_f0(f0_frames, self.hop, seg.shape[0])
+        return {"audio": seg, "mel": mell[0].astype(np.float32), "F0": f0}
+
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        segs = [self.sample_segment() for _ in range(batch_size)]
+        if self._native is not None:
+            audio = self._native.next_batch(batch_size)
+            segs = [self._features(audio[i]) for i in range(batch_size)]
+        else:
+            segs = [self.sample_segment() for _ in range(batch_size)]
         return {k: np.stack([s[k] for s in segs]) for k in segs[0]}
 
 
