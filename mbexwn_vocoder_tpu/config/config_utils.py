@@ -366,7 +366,7 @@ def _check_config_dict_implementation(config_dict, config_name, required_keys, o
 def check_config_dict(hparams):
     optional_keys = [
         "preprocess_config", "training_config", "checkpoint_config", "pickle_config",
-        "path_config", "mbexwn_config", "aliases", "use_tf25_compatible_implementation",
+        "path_config", "mbexwn_config", "wavegan_config", "aliases", "use_tf25_compatible_implementation",
         "parallel_config",
     ]
     required_keys = ["preprocess_config", "training_config", "checkpoint_config", "pickle_config"]

@@ -156,9 +156,13 @@ class MELInverter:
     def synth_from_mel(self, scaled_mell: np.ndarray) -> np.ndarray:
         """Mel (B, T, C) -> waveform (B*T*hop,) raveled like the reference.
 
-        Variable-length mels are padded to static length buckets (XLA wants
-        static shapes); the padded tail is trimmed from the audio so outputs
-        equal the unpadded computation on the requested span.
+        Variable-length mels are edge-padded to static length buckets (XLA
+        wants static shapes) and the padded audio tail is trimmed.  The
+        trailing ~30 mel frames of output can deviate slightly from an
+        exact-length computation (the padded frames sit inside the conv
+        receptive field there, and the noise-channel draw depends on the
+        padded shape); pass length_buckets=(T,) for bit-exact lengths at the
+        cost of one XLA compile per distinct T.
         """
         import jax.numpy as jnp
 
@@ -238,6 +242,12 @@ class MELInverter:
                     file=sys.stderr,
                 )
             self.params = self.model.init(jax.random.PRNGKey(42))
+
+        # bake g*v/||v|| into plain kernels once -- the per-call recompute is
+        # a training-time need only (reference: conv_layers.py:149-153)
+        from .ops.conv import fold_weight_norm
+
+        self.params = fold_weight_norm(self.params)
 
         self.mel_channels = self.preprocess_config["mel_channels"]
         self.hop_size = self.preprocess_config["hop_size"]

@@ -473,16 +473,17 @@ class MBExWN(Module):
             smoothed_cepstrum = x
 
         if not self.spect_filters_preserve_energy:
-            # drop the gain coefficient; complete the cepstrum to fft size
-            source_filter_cepstrum = jnp.pad(
-                smoothed_cepstrum[:, :, 1:], ((0, 0), (0, 0), (1, self.fft_size - smoothed_cepstrum.shape[2]))
-            )
+            # drop the gain coefficient (taken care of by the source gain)
+            source_filter_cepstrum = jnp.pad(smoothed_cepstrum[:, :, 1:], ((0, 0), (0, 0), (1, 0)))
         else:
-            source_filter_cepstrum = jnp.pad(
-                smoothed_cepstrum, ((0, 0), (0, 0), (0, self.fft_size - smoothed_cepstrum.shape[2]))
-            )
+            source_filter_cepstrum = smoothed_cepstrum
 
-        filter_log_amp_phase = jnp.fft.rfft(source_filter_cepstrum, axis=-1)
+        # rfft of the fft_size-padded cepstrum; only ~120 coefficients are
+        # non-zero, so the rDFT evaluates them directly (matmul method rides
+        # the MXU without materializing the zero padding)
+        from ..ops.stft_ops import rdft
+
+        filter_log_amp_phase = rdft(source_filter_cepstrum, self.fft_size)
 
         if self.filter_max_log_range:
             source_filter_stft = jnp.exp(

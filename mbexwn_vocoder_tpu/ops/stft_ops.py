@@ -11,11 +11,70 @@ and the rfft batches over frames.  irfft + scatter-add implements OLA.
 """
 from __future__ import annotations
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# rDFT evaluation method for the on-device transforms:
+#   "fft"    -> jnp.fft.rfft/irfft (XLA's FFT lowering)
+#   "matmul" -> explicit real-DFT matmuls (rides the MXU; the transform sizes
+#               here -- frame_length ~1200, fft 2048 -- are small enough that
+#               two (L, K) matmuls beat the FFT butterfly on TPU)
+# Both paths are numerically interchangeable at fp32 tolerance and share the
+# same tests; select via env MBEXWN_STFT_METHOD.
+STFT_METHOD = os.environ.get("MBEXWN_STFT_METHOD", "fft")
+
+
+@lru_cache(maxsize=16)
+def _rdft_matrices(n_in: int, fft_length: int):
+    """cos/sin matrices (n_in, K) evaluating rfft(x, fft_length)[:K] for a
+    real input of length n_in <= fft_length (implicit zero padding)."""
+    K = fft_length // 2 + 1
+    n = np.arange(n_in)[:, None]
+    k = np.arange(K)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_length
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def _irdft_matrices(fft_length: int, n_out: int):
+    """Real/imag matrices (K, n_out) evaluating irfft(X, fft_length)[:n_out]."""
+    K = fft_length // 2 + 1
+    k = np.arange(K)[:, None]
+    n = np.arange(n_out)[None, :]
+    ang = 2.0 * np.pi * k * n / fft_length
+    scale = np.full((K, 1), 2.0 / fft_length)
+    scale[0] = 1.0 / fft_length
+    if fft_length % 2 == 0:
+        scale[-1] = 1.0 / fft_length
+    cr = (np.cos(ang) * scale).astype(np.float32)
+    ci = (-np.sin(ang) * scale).astype(np.float32)
+    return cr, ci
+
+
+def rdft(frames: jnp.ndarray, fft_length: int, method: Optional[str] = None) -> jnp.ndarray:
+    """rfft over the last axis with implicit zero-pad to fft_length."""
+    method = method or STFT_METHOD
+    if method == "fft":
+        return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    C, S = _rdft_matrices(frames.shape[-1], fft_length)
+    re = jnp.matmul(frames, jnp.asarray(C))
+    im = -jnp.matmul(frames, jnp.asarray(S))
+    return jax.lax.complex(re, im)
+
+
+def irdft(spec: jnp.ndarray, fft_length: int, n_out: int, method: Optional[str] = None) -> jnp.ndarray:
+    """First n_out samples of irfft(spec, fft_length) over the last axis."""
+    method = method or STFT_METHOD
+    if method == "fft":
+        return jnp.fft.irfft(spec, n=fft_length, axis=-1)[..., :n_out]
+    Cr, Ci = _irdft_matrices(fft_length, n_out)
+    return jnp.matmul(jnp.real(spec), jnp.asarray(Cr)) + jnp.matmul(jnp.imag(spec), jnp.asarray(Ci))
+
 
 
 def frame(x: jnp.ndarray, frame_length: int, frame_step: int) -> jnp.ndarray:
@@ -55,7 +114,7 @@ def stft(
     frames = frame(x, frame_length, frame_step)
     if window is not None:
         frames = frames * window
-    return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    return rdft(frames, fft_length)
 
 
 def inverse_stft_window(
@@ -108,7 +167,7 @@ def istft(
 ) -> jnp.ndarray:
     """tf.signal.inverse_stft semantics: irfft to fft_length, truncate to
     frame_length, multiply by `window` (typically inverse_stft_window), OLA."""
-    frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)[..., :frame_length]
+    frames = irdft(spec, fft_length, frame_length)
     if window is not None:
         frames = frames * window
     return overlap_and_add(frames, frame_step)
