@@ -24,6 +24,8 @@ setup(
             "mbexwn_generate_mel=mbexwn_vocoder_tpu.cli.generate_mel:cli",
             "mbexwn_resynth_mel=mbexwn_vocoder_tpu.cli.resynth_mel:cli",
             "mbexwn_view_mel=mbexwn_vocoder_tpu.cli.view_mel:cli",
+            "mbexwn_train=mbexwn_vocoder_tpu.cli.train:cli",
+            "mbexwn_convert_checkpoint=mbexwn_vocoder_tpu.cli.convert_checkpoint:cli",
         ]
     },
 )
