@@ -26,7 +26,7 @@ import numpy as np
 #               two (L, K) matmuls beat the FFT butterfly on TPU)
 # Both paths are numerically interchangeable at fp32 tolerance and share the
 # same tests; select via env MBEXWN_STFT_METHOD.
-STFT_METHOD = os.environ.get("MBEXWN_STFT_METHOD", "fft")
+STFT_METHOD = os.environ.get("MBEXWN_STFT_METHOD", "matmul")
 
 
 @lru_cache(maxsize=16)

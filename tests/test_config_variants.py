@@ -111,3 +111,36 @@ def test_equalized_lr_conv():
     y1 = np.asarray(layer(params, x))
     y2 = np.asarray(layer(mops.fold_weight_norm(params), x))
     np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+
+
+def test_pulse_channels_pqmf_analysis_path():
+    """pulse_channels_use_pqmf: fold the pulse train via a PQMF analysis bank
+    instead of reshape (custom_pulsed_generator.py:892-900)."""
+    hp = _base_hp()
+    mc = hp["mbexwn_config"]
+    mc["pulse_channels_use_pqmf"] = True
+    mc["pulse_channels_multi_band_config"] = {"subbands": 10, "taps": 62, "cutoff_ratio": 0.05,
+                                              "beta": 9.0}
+    _run(hp)
+
+
+def test_training_forward_with_rms_normalization():
+    """Trainer path with normalize_rms_from_mell: loss computed in the
+    normalized domain (wavegen_1d.py:493-513 semantics)."""
+    import jax
+
+    from mbexwn_vocoder_tpu.training import Trainer
+
+    hp = _base_hp()
+    hp["mbexwn_config"]["normalize_rms_from_mell"] = True
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    trainer = Trainer(model, hp)
+    state = trainer.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, 2400).astype(np.float32) * 0.1),
+        "mel": jnp.asarray((rng.randn(2, 8, 80) * 0.5 - 4).astype(np.float32)),
+        "F0": jnp.asarray((120 + 10 * rng.randn(2, 2400)).astype(np.float32)),
+    }
+    new_state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
