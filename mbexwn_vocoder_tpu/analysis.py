@@ -40,7 +40,8 @@ def scale_mel_spectrogram(mel_spectrogram, preprocess_config, forward=True):
 
 def norm_mell(mell, preprocess_config, snd=None, de_normalize_snd=False, mell_is_log=True,
               norm_max=None, norm_max_fac=None, num_smooth_iters=None, smooth_win_scale=1.0,
-              return_snd_gain=False, normalize_compressor_exp=None, use_pinv=False):
+              return_snd_gain=False, normalize_compressor_exp=None, use_pinv=False,
+              old_gain_smooth=False):
     """Offline mel/sound RMS normalisation with overlap-add gain smoothing.
 
     reference: preprocess.py:129-378 (numpy path).
@@ -83,7 +84,10 @@ def norm_mell(mell, preprocess_config, snd=None, de_normalize_snd=False, mell_is
     ana_win = get_stft_window("hann", win_size, np.dtype("float32"))[np.newaxis, :]
     gain_ana_win = ana_win / np.sum(ana_win)
     smooth_win_size = int(win_size * smooth_win_scale)
-    smooth_syn_win = get_stft_window("hann", smooth_win_size, np.dtype("float32"))[np.newaxis, :] ** 2
+    smooth_syn_win = get_stft_window("hann", smooth_win_size, np.dtype("float32"))[np.newaxis, :]
+    if old_gain_smooth:
+        # legacy mode: square the window (reference preprocess.py:248-252)
+        smooth_syn_win = smooth_syn_win**2
     n_frames = mell.shape[1]
     gain_off = 0
     gain = None

@@ -29,6 +29,21 @@ from ..ops.stft_ops import inverse_stft_window, istft, stft
 
 log_to_db = 20 * np.log10(np.exp(1))
 
+import os as _os
+
+
+def _use_pallas_oscillator() -> bool:
+    """Pallas oscillator kernel: on for TPU backends, overridable with
+    MBEXWN_PALLAS=0/1 (the XLA path stays the CPU/test reference)."""
+    flag = _os.environ.get("MBEXWN_PALLAS", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 class MBExWN(Module):
     """Synthesize audio from mel spectrograms via a multi-band excited WaveNet."""
@@ -364,6 +379,20 @@ class MBExWN(Module):
             audio = (jnp.sin(phase_2pi) * 0.5 * (1.0 - jnp.cos(phase_2pi)))[:, :, None]
             if not wt.add_subharm_chans:
                 return audio
+        elif _use_pallas_oscillator():
+            # fused Pallas kernel: lookup + cross-fade in VMEM (no HBM
+            # materialization of the tent-weight / grid intermediates)
+            from ..ops.pallas_oscillator import oscillator_fused
+
+            audio = oscillator_fused(
+                phase,
+                pulse_frequency,
+                params["wavetables"],
+                wt.nominalF0,
+                wt.F0GridFactor,
+                wt.min_transposition,
+                wt.max_transposition,
+            )[:, :, None]
         else:
             grid = wavetable_lookup(phase, params["wavetables"])
             audio = grid_crossfade(

@@ -207,3 +207,26 @@ def test_resample_matches_reference():
     ours, _ = resample(x, 44100, 24000)
     ref, _ = ref_resample(x, 44100, 24000)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_norm_mell_matches_reference():
+    """Offline mel/sound RMS normalisation with OLA gain smoothing
+    (preprocess.py:129-378 numpy path)."""
+    require_reference()
+    from MBExWN_NVoc.vocoder.model.preprocess import norm_mell as ref_norm_mell
+
+    from mbexwn_vocoder_tpu.analysis import norm_mell
+
+    pc = {"sample_rate": 24000, "hop_size": 300, "win_size": 1200, "fft_size": 2048,
+          "mel_channels": 80, "fmin": 0.0, "fmax": 12000.0}
+    rng = np.random.RandomState(0)
+    T = 40
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    snd = (rng.randn(1, T * 300) * 0.1).astype(np.float32)
+
+    for use_pinv in (False, True):
+        for iters in (1, 2):
+            ours = norm_mell(mell.copy(), pc, snd=snd.copy(), num_smooth_iters=iters, use_pinv=use_pinv)
+            ref = ref_norm_mell(mell.copy(), pc, snd=snd.copy(), num_smooth_iters=iters, use_pinv=use_pinv)
+            np.testing.assert_allclose(ours[0], ref[0], rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(ours[1], ref[1], rtol=1e-4, atol=1e-4)
