@@ -75,7 +75,7 @@ def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48):
     rng = np.random.RandomState(0)
     mell = (rng.randn(1, T, 80) * 0.5 - 4.0).astype(np.float32)
     ss = StreamingSynthesizer(model, params, chunk_frames=chunk_frames, halo_frames=halo_frames)
-    y = ss.synth(mell[:, : 2 * chunk_frames + halo_frames])  # warm both chunk shapes
+    y = ss.synth(mell)  # warm pass compiles every chunk shape (first/mid/last)
     t0 = time.time()
     y = ss.synth(mell)
     dt = time.time() - t0

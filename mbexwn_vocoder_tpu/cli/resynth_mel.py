@@ -20,7 +20,6 @@ def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, se
     from ..dsp.db import log_to_db
     from ..mel_inverter import MELInverter
 
-    import jax
 
     MelInv = MELInverter(model_id_or_path=model_id, verbose=verbose)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
-from functools import partial
+
 from typing import Dict, Optional, Union
 
 import numpy as np

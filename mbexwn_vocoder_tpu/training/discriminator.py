@@ -11,7 +11,7 @@ the feature-matching loss.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ implements the calibration the config schema describes
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

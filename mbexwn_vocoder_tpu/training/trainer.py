@@ -14,7 +14,6 @@ Training forward semantics follow PaNWaveNet.call/MBExWN.call(training=True)
 """
 from __future__ import annotations
 
-import copy
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
