@@ -33,16 +33,11 @@ import os as _os
 
 
 def _use_pallas_oscillator() -> bool:
-    """Pallas oscillator kernel: on for TPU backends, overridable with
-    MBEXWN_PALLAS=0/1 (the XLA path stays the CPU/test reference)."""
-    flag = _os.environ.get("MBEXWN_PALLAS", "auto")
-    if flag in ("0", "off", "false"):
-        return False
-    if flag in ("1", "on", "true"):
-        return True
-    import jax
-
-    return jax.default_backend() == "tpu"
+    """Pallas fused-oscillator kernel (experimental; MBEXWN_PALLAS=1 to
+    enable).  The current Mosaic toolchain rejects the (rows,128)->(flat,1)
+    shape cast the kernel needs, so the XLA tent-matmul path -- which already
+    rides the MXU -- remains the default on all backends."""
+    return _os.environ.get("MBEXWN_PALLAS", "0") in ("1", "on", "true")
 
 
 class MBExWN(Module):
