@@ -6,8 +6,10 @@ windowing and OLA-normalisation conventions of tf.signal.stft /
 tf.signal.inverse_stft / inverse_stft_window_fn; these are reproduced here
 sample-exactly (off-by-one hops are audible as buzz).
 
-TPU notes: framing is a gather (B, F, W), the window multiply fuses into it,
-and the rfft batches over frames.  irfft + scatter-add implements OLA.
+TPU notes: framing is ceil(L/S) static strided slices (no gather), OLA is
+pad+add passes (no scatter), and the real DFTs default to explicit cos/sin
+matmuls on the MXU (see rdft/irdft; MBEXWN_STFT_METHOD selects the XLA FFT
+instead).
 """
 from __future__ import annotations
 

@@ -24,7 +24,7 @@ def test_fused_oscillator_matches_xla_path():
         jnp.asarray(freq), nominal, gf, min_tr, max_tr,
     )
     fused = oscillator_fused(jnp.asarray(phase), jnp.asarray(freq), jnp.asarray(wt),
-                             nominal, gf, min_tr, max_tr, block_rows=8, interpret=True)
+                             nominal, gf, min_tr, max_tr, tile=1024, interpret=True)
     assert fused.shape == ref.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
@@ -38,5 +38,5 @@ def test_fused_oscillator_ragged_tail():
     ref = grid_crossfade(wavetable_lookup(jnp.asarray(phase), jnp.asarray(wt)),
                          jnp.asarray(freq), 50.0, 1.25, 1.0, 4.0)
     fused = oscillator_fused(jnp.asarray(phase), jnp.asarray(freq), jnp.asarray(wt),
-                             50.0, 1.25, 1.0, 4.0, block_rows=2, interpret=True)
+                             50.0, 1.25, 1.0, 4.0, tile=256, interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
