@@ -160,7 +160,7 @@ def main():
 
     t_start = time.time()
 
-    def sub(B, T_mel, timeout_s=900, retries=1):
+    def sub(B, T_mel, timeout_s=600, retries=1):
         for attempt in range(retries + 1):
             try:
                 r = subprocess.run(
@@ -176,7 +176,7 @@ def main():
         return None
 
     b32 = sub(32, 128)
-    b1 = sub(1, 512)
+    b1 = sub(1, 512, retries=0)
 
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
     if b32 is None and b1 is None and os.path.exists(cache_path):
