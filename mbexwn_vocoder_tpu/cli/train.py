@@ -54,11 +54,36 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
 
     ckpt = CheckpointManager(os.path.join(output_dir, cc.get("checkpoint_dir", "checkpoints")),
                              max_to_keep=cc.get("max_to_keep", 5))
+    resumed = False
     if resume:
         restored = ckpt.restore(state)
         if restored is not None:
             state = restored
+            resumed = True
             print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    # activation pretraining per the reference's config contract
+    # (pretrain_activations_target/_max_iters/_to_rmse/_lr, config_utils.py:404-407)
+    if (not resumed) and tc.get("pretrain_activations_target"):
+        from ..training.pretrain import pretrain_activations
+
+        dataset0 = SegmentDataset(data_dir, pc, seed=seed)
+        import jax.numpy as jnp2
+
+        cal_mels = [jnp2.asarray(dataset0.batch(batch_size)["mel"]) for _ in range(2)]
+        print("pretraining activation statistics...", file=sys.stderr)
+        new_params, ploss = pretrain_activations(
+            model, state.params, cal_mels,
+            target=tc["pretrain_activations_target"],
+            max_iters=tc.get("pretrain_activations_max_iters", 100),
+            lr=tc.get("pretrain_activations_lr", 1e-2),
+            to_rmse=tc.get("pretrain_activations_to_rmse", 0.05),
+        )
+        from ..training.trainer import TrainState
+
+        state = TrainState(params=new_params, opt_state=trainer.optimizer.init(new_params),
+                           step=state.step)
+        print(f"pretraining done (stats loss {ploss:.4f})", file=sys.stderr)
 
     model_summary(model, state.params, T_mel=T_mel, print_fn=lambda s: print(s, file=sys.stderr))
 

@@ -48,6 +48,25 @@ def _make_optimizer(training_config: Dict) -> optax.GradientTransformation:
     if isinstance(opt_cfg, str):
         opt_cfg = {"type": opt_cfg}
     lr = opt_cfg.get("learning_rate", training_config.get("learning_rate", 1e-4))
+    # lr_schedule: {type: cosine|exponential|constant, warmup_steps, decay_steps, final_scale}
+    sched = training_config.get("lr_schedule")
+    if sched:
+        stype = str(sched.get("type", "cosine")).lower()
+        warmup = sched.get("warmup_steps", 0)
+        decay = sched.get("decay_steps", 1_000_000)
+        final = sched.get("final_scale", 0.01)
+        if stype == "cosine":
+            main = optax.cosine_decay_schedule(lr, decay, alpha=final)
+        elif stype == "exponential":
+            main = optax.exponential_decay(lr, decay, final)
+        else:
+            main = optax.constant_schedule(lr)
+        if warmup:
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup), main], [warmup]
+            )
+        else:
+            lr = main
     opt_type = str(opt_cfg.get("type", "adam")).lower()
     if opt_type == "adam":
         tx = optax.adam(lr, b1=opt_cfg.get("beta1", 0.9), b2=opt_cfg.get("beta2", 0.999))
@@ -100,6 +119,11 @@ class Trainer:
         self.psns_gain_loss_weight = mc.get("psns_gain_loss_weight")
         self.psns_cepstral_loss_weight = mc.get("psns_cepstral_loss_weight", 0.5)
         self.pulse_noise_floor_mag = blk.pulse_noise_floor_mag
+        # input dither (training_config:dither_level) and windowed time-domain
+        # L1 loss (TD_loss_weight / TD_loss_win_len, config_utils.py:407)
+        self.dither_level = self.training_config.get("dither_level", 0) or 0
+        self.TD_loss_weight = self.training_config.get("TD_loss_weight", 0) or 0
+        self.TD_loss_win_len = self.training_config.get("TD_loss_win_len", 512)
 
         self._jitted_step = None
 
@@ -205,9 +229,26 @@ class Trainer:
 
     def loss_fn(self, params, batch, step, rng):
         audio, mel, F0 = batch["audio"], batch["mel"], batch.get("F0")
+        if self.dither_level:
+            rng, d = jax.random.split(rng)
+            audio = audio + self.dither_level * jax.random.normal(d, audio.shape, audio.dtype)
         signal, target_audio, aux = self.training_forward(params, audio, mel, F0, step, rng)
         total, spect_aux = self.spect_losses.total_loss(target_audio, signal, step=step, rng=rng)
         metrics = {k: v for k, v in spect_aux.items() if v is not None}
+        if self.TD_loss_weight:
+            # windowed time-domain L1: compare local RMS envelopes so phase
+            # mismatch does not dominate
+            from ..ops.stft_ops import frame as _frame
+
+            w = self.TD_loss_win_len
+            fr_s = _frame(signal, w, w // 2)
+            fr_t = _frame(target_audio, w, w // 2)
+            td = jnp.mean(jnp.abs(
+                jnp.sqrt(jnp.mean(jnp.square(fr_s), axis=-1) + 1e-10)
+                - jnp.sqrt(jnp.mean(jnp.square(fr_t), axis=-1) + 1e-10)
+            ))
+            total = total + self.TD_loss_weight * td
+            metrics["TD_loss"] = td
         if "F0_loss" in aux and self.pp_F0_loss_weight is not None:
             total = total + aux["F0_loss"] * self.pp_F0_loss_weight(step)
             metrics["F0_loss"] = aux["F0_loss"]

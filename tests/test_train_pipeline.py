@@ -136,3 +136,29 @@ def test_observability_helpers(tmp_path):
     data = dump_controls(dump_path, model, params, mel)
     assert os.path.exists(dump_path)
     assert data["pulse_frequency"].shape == (1, 8 * 150)
+
+
+def test_train_cli_with_pretrain_schedule_dither_td(tmp_path):
+    """Config-contract extras: activation pretraining before step 1,
+    lr_schedule, dither_level and TD loss keys all consumed."""
+    from mbexwn_vocoder_tpu.cli.train import main as train_main
+
+    data_dir = _make_dataset(tmp_path)
+    out_dir = str(tmp_path / "run2")
+    cargs = [
+        "mbexwn_config:pp_mod_subnet:n_channels=16",
+        "mbexwn_config:pp_mod_subnet:n_layers=2",
+        "mbexwn_config:pp_mod_subnet:n_out_channels=8",
+        "mbexwn_config:normalize_rms_from_mell=False",
+        "preprocess_config:segment_length=6000",
+        "training_config:pretrain_activations_target=1.0",
+        "training_config:pretrain_activations_max_iters=3",
+        "training_config:dither_level=0.001",
+        "training_config:TD_loss_weight=0.5",
+        "training_config:lr_schedule={'type':'cosine','warmup_steps':2,'decay_steps':100}",
+    ]
+    train_main("SPEECH", data_dir, out_dir, steps=2, batch_size=2, save_every=10,
+               log_every=1, cargs=cargs, num_workers=1)
+    recs = [json.loads(l) for l in open(os.path.join(out_dir, "logs", "metrics.jsonl"))]
+    assert "TD_loss" in recs[-1]
+    assert np.isfinite(recs[-1]["total_loss"])
