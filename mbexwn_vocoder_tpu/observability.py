@@ -140,3 +140,77 @@ def dump_controls(path: str, model, params, mel, rng=None) -> Dict:
         data["upsampled_rms"] = np.asarray(rms)
     save_var(path, data)
     return data
+
+
+def synthesis_flops(model, T_mel: int = 1, batch: int = 1) -> Dict:
+    """Analytic FLOP count per synthesis call (roofline bookkeeping).
+
+    Counts the MXU-relevant work: subnets, WaveNet stack, post net, PQMF,
+    oscillator tent matmul and the rDFT matmuls of the envelope path.
+    """
+    blk = model.block
+    hop = blk.spect_hop_size
+    stp = blk.spect_to_pulse_upsampling_factor
+    t12k = T_mel * stp
+    t_wn_in = t12k // blk.pulse_channels
+
+    def conv_flops(t, cin, cout, k):
+        return 2 * t * cin * cout * k
+
+    total = 0
+    breakdown = {}
+
+    def seq_flops(seq, t, cin):
+        f = 0
+        for layer in seq.layers:
+            name = layer.__class__.__name__
+            if name == "Conv1DWeightNorm":
+                f += conv_flops(layer.out_length(t), cin, layer.filters, layer.kernel_size)
+                cin = layer.filters
+                t = layer.out_length(t)
+            elif name == "Conv1DUpDownSample":
+                f += conv_flops(t, cin, layer.filters, layer.kernel_size)
+                cin = layer.out_filters
+                t = layer.out_length(t)
+            else:
+                t = layer.out_length(t)
+        return f
+
+    if blk.pp_subnet is not None:
+        breakdown["pp_subnet"] = seq_flops(blk.pp_subnet, T_mel, blk.mel_channels)
+    if getattr(blk, "ps_subnet", None) is not None:
+        breakdown["ps_subnet"] = seq_flops(blk.ps_subnet, T_mel, blk.mel_channels)
+
+    wn = 0
+    t = t_wn_in
+    for bl in blk.pp_waveNetBlocks:
+        w = bl.wavenet
+        n_in = blk.pulse_channels * (1 + blk.wavetable.add_subharm_chans) + (
+            1 if blk.pp_mod_subnet_noise_channel_sigma else 0
+        )
+        wn += conv_flops(t, n_in, w.n_channels, 1)  # start
+        for conv, rs in zip(w.conv_layers, w.res_skip_layers):
+            wn += conv_flops(t, w.n_grp_channels, conv.filters, conv.kernel_size)
+            wn += conv_flops(t, w.n_grp_channels, rs.filters, 1)
+        wn += conv_flops(t, w.n_channels, w.n_out_channels, 1)  # end
+        wn += conv_flops(T_mel, blk.mel_channels, 2 * w.n_channels, w.cond_layer.kernel_size if w.cond_layer else 0)
+        if bl.up_down_sample is not None:
+            wn += conv_flops(t, w.n_out_channels, bl.up_down_sample.filters, 3)
+            t = bl.out_length(t)
+    breakdown["wavenet"] = wn
+    breakdown["post_pqmf"] = conv_flops(t, blk.wn_post_net.filters, blk.mb_factor, 1) + (
+        conv_flops(T_mel * hop, blk.mb_factor, 1, blk.multi_band_config["taps"] + 1)
+        if blk.pqmf_filters is not None else 0
+    )
+    breakdown["oscillator"] = 2 * t12k * blk.wavetable.n_wavetable * len(blk.wavetable.F0_list)
+    K = blk.fft_size // 2 + 1
+    breakdown["envelope_rdft"] = 2 * T_mel * blk.ps_max_ceps_coefs * K * 2
+    breakdown["stft_istft"] = 2 * (T_mel + 2) * blk.stft_win_size * K * 2 * 2
+
+    total = batch * sum(breakdown.values())
+    audio_seconds = batch * T_mel * hop / blk.sample_rate
+    return {
+        "flops_per_call": total,
+        "flops_per_audio_second": total / audio_seconds,
+        "breakdown": {k: batch * v for k, v in breakdown.items()},
+    }

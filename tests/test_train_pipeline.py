@@ -162,3 +162,20 @@ def test_train_cli_with_pretrain_schedule_dither_td(tmp_path):
     recs = [json.loads(l) for l in open(os.path.join(out_dir, "logs", "metrics.jsonl"))]
     assert "TD_loss" in recs[-1]
     assert np.isfinite(recs[-1]["total_loss"])
+
+
+def test_synthesis_flops_and_multihost_info():
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    from mbexwn_vocoder_tpu.observability import synthesis_flops
+    from mbexwn_vocoder_tpu.parallel.multihost import process_info
+    import mbexwn_vocoder_tpu as mv
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    info = synthesis_flops(model, T_mel=128, batch=32)
+    assert info["breakdown"]["wavenet"] > 1e12 * 0.9  # ~1.2 TFLOP at batch 32
+    assert info["flops_per_audio_second"] > 1e10
+
+    pi = process_info()
+    assert pi["process_count"] >= 1 and pi["local_devices"] >= 1
