@@ -68,6 +68,100 @@ class StreamingSynthesizer:
             self._jitted[key] = jax.jit(fn) if self.use_jit else fn
         return self._jitted[key]
 
+    def _f0_fn(self, span: int):
+        key = ("f0", span)
+        if key not in self._jitted:
+            model = self.model
+
+            def fn(params, mel_span):
+                return model.block.generate_f0(params, mel_span)
+
+            self._jitted[key] = jax.jit(fn) if self.use_jit else fn
+        return self._jitted[key]
+
+    def _chunk_batch_fn(self, span: int, left: int, inner: int):
+        key = ("batched", span, left, inner)
+        if key not in self._jitted:
+            model = self.model
+            hop = self.hop
+
+            def fn(params, mel_spans, offsets):
+                y = model.infer(params, mel_spans, synth_length=mel_spans.shape[1] * hop,
+                                phase_offset=offsets)
+                a0 = left * hop
+                return y[:, a0 : a0 + inner * hop]
+
+            self._jitted[key] = jax.jit(fn) if self.use_jit else fn
+        return self._jitted[key]
+
+    def synth_batched(self, mell: np.ndarray) -> np.ndarray:
+        """Sequence-parallel long-form synthesis: every chunk evaluated in one
+        BATCHED call instead of sequentially.
+
+        Chunks are independent given their absolute phase at the left edge, so
+        a cheap F0-only pass computes all carries up front (float64 mod-1 on
+        the host), and the uniform middle chunks synthesize as a single batch
+        -- the long-form latency becomes ~the batched-throughput cost instead
+        of n_chunks sequential dispatches.  On a multi-chip mesh the same
+        batch shards over 'data' (true sequence parallelism).
+
+        Currently supports batch-1 input (B=1); returns (1, T*hop).
+        """
+        B, T, C = mell.shape
+        assert B == 1, "synth_batched currently supports a single utterance"
+        c, h = self.chunk_frames, self.halo_frames
+        if T <= c + h:
+            y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
+            return np.asarray(y)
+
+        # chunk geometry
+        bounds = []
+        t0 = 0
+        while t0 < T:
+            t1 = min(t0 + c, T)
+            lo, hi = max(0, t0 - h), min(T, t1 + h)
+            bounds.append((t0, t1, lo, hi))
+            t0 = t1
+
+        # pass 1: F0 over each span (per distinct span shape).  Two pieces per
+        # chunk: the interior contour (feeds the global carry accumulation)
+        # and the span's OWN left-halo integral -- the oscillator inside the
+        # chunk integrates the span's own F0 prediction over the halo, so the
+        # offset must cancel exactly that quantity (not the global contour,
+        # which differs slightly at span edges).
+        f0_interior = []
+        f0_left_inc = []
+        for (t0, t1, lo, hi) in bounds:
+            f0 = np.asarray(self._f0_fn(hi - lo)(self.params, jnp.asarray(mell[:, lo:hi])))
+            f0_interior.append(f0[:, (t0 - lo) * self.stp : (t0 - lo + (t1 - t0)) * self.stp])
+            f0_left_inc.append(
+                np.sum(f0[:, : (t0 - lo) * self.stp].astype(np.float64), axis=1) / self.pulse_rate
+            )
+        carries = [np.zeros((B,), dtype=np.float64)]
+        for f0i in f0_interior[:-1]:
+            carries.append(
+                np.mod(carries[-1] + np.sum(f0i.astype(np.float64), axis=1) / self.pulse_rate, 1.0)
+            )
+        offsets = [np.mod(c - inc, 1.0).astype(np.float32) for c, inc in zip(carries, f0_left_inc)]
+
+        # pass 2: group chunks by (span, left, inner) and run batched
+        out = np.empty((B, T * self.hop), dtype=np.float32)
+        groups: Dict[Tuple[int, int, int], list] = {}
+        for idx, (t0, t1, lo, hi) in enumerate(bounds):
+            groups.setdefault((hi - lo, t0 - lo, t1 - t0), []).append(idx)
+        for (span, left, inner), idxs in groups.items():
+            mel_spans = np.concatenate([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
+            offs = np.concatenate([offsets[i] for i in idxs], axis=0)
+            ys = np.asarray(
+                self._chunk_batch_fn(span, left, inner)(
+                    self.params, jnp.asarray(mel_spans), jnp.asarray(offs)
+                )
+            )
+            for row, i in enumerate(idxs):
+                t0, t1 = bounds[i][0], bounds[i][1]
+                out[0, t0 * self.hop : t1 * self.hop] = ys[row]
+        return out
+
     def synth(self, mell: np.ndarray) -> np.ndarray:
         """(B, T, C) log-mel -> (B, T*hop) waveform."""
         B, T, C = mell.shape

@@ -96,3 +96,24 @@ def test_phase_offset_continuity(model_params):
     )
     stitched = np.concatenate([a, b], axis=1)
     np.testing.assert_allclose(stitched, full, rtol=1e-3, atol=5e-3)
+
+
+def test_synth_batched_matches_one_shot(model_params):
+    """Sequence-parallel batched chunk synthesis == one-shot (up to fp32
+    cumsum noise), and groups chunk shapes into at most 3 programs."""
+    model, params = model_params
+    rng = np.random.RandomState(7)
+    T = 96
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    y_one = np.asarray(model.infer(params, jnp.asarray(mell), synth_length=T * 300))
+
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+    y_b = ss.synth_batched(mell)
+    assert y_b.shape == y_one.shape
+    rel = np.sqrt(np.mean((y_b - y_one) ** 2) / (np.mean(y_one**2) + 1e-12))
+    assert rel < 2e-3, rel
+
+    # and matches the sequential streaming path
+    y_s = ss.synth(mell)
+    rel2 = np.sqrt(np.mean((y_b - y_s) ** 2) / (np.mean(y_s**2) + 1e-12))
+    assert rel2 < 2e-3, rel2
