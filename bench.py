@@ -78,8 +78,14 @@ def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48):
     y = ss.synth(mell)  # warm pass compiles every chunk shape (first/mid/last)
     t0 = time.time()
     y = ss.synth(mell)
-    dt = time.time() - t0
-    return (T * hop / model.sample_rate) / dt, dt
+    dt_seq = time.time() - t0
+    y = ss.synth_batched(mell)  # warm the batched programs
+    t0 = time.time()
+    y = ss.synth_batched(mell)
+    dt_bat = time.time() - t0
+    audio_s = T * hop / model.sample_rate
+    return {"sequential_rtf": audio_s / dt_seq, "batched_rtf": audio_s / dt_bat,
+            "wall_s_sequential": dt_seq, "wall_s_batched": dt_bat}
 
 
 def bench_scaling(n_list=(1, 2, 4, 8)):
@@ -227,8 +233,9 @@ if __name__ == "__main__":
         _hp = _rc(_mv.get_config_file("VOICE"))
         _model, _ = _cm(_hp, _hp["training_config"], _hp["preprocess_config"], quiet=True)
         _params = _model.init(_jax.random.PRNGKey(42), batch_size=1, T_mel=8)
-        rtf, dt = bench_longform(_model, _params)
-        print(json.dumps({"metric": "long-form 60s streaming", "value": round(rtf, 1),
-                          "unit": "audio_s/s/chip", "wall_s": round(dt, 2)}))
+        res = bench_longform(_model, _params)
+        print(json.dumps({"metric": "long-form 60s streaming", "value": round(res["batched_rtf"], 1),
+                          "unit": "audio_s/s/chip",
+                          **{k: round(v, 2) for k, v in res.items()}}))
     else:
         main()
