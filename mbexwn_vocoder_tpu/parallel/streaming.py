@@ -129,14 +129,21 @@ class StreamingSynthesizer:
         # chunk integrates the span's own F0 prediction over the halo, so the
         # offset must cancel exactly that quantity (not the global contour,
         # which differs slightly at span edges).
-        f0_interior = []
-        f0_left_inc = []
-        for (t0, t1, lo, hi) in bounds:
-            f0 = np.asarray(self._f0_fn(hi - lo)(self.params, jnp.asarray(mell[:, lo:hi])))
-            f0_interior.append(f0[:, (t0 - lo) * self.stp : (t0 - lo + (t1 - t0)) * self.stp])
-            f0_left_inc.append(
-                np.sum(f0[:, : (t0 - lo) * self.stp].astype(np.float64), axis=1) / self.pulse_rate
-            )
+        f0_interior = [None] * len(bounds)
+        f0_left_inc = [None] * len(bounds)
+        span_groups: Dict[int, list] = {}
+        for idx, (t0, t1, lo, hi) in enumerate(bounds):
+            span_groups.setdefault(hi - lo, []).append(idx)
+        for span, idxs in span_groups.items():
+            mel_spans = np.concatenate([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
+            f0s = np.asarray(self._f0_fn(span)(self.params, jnp.asarray(mel_spans)))
+            for row, i in enumerate(idxs):
+                t0, t1, lo, hi = bounds[i]
+                f0 = f0s[row : row + 1]
+                f0_interior[i] = f0[:, (t0 - lo) * self.stp : (t0 - lo + (t1 - t0)) * self.stp]
+                f0_left_inc[i] = (
+                    np.sum(f0[:, : (t0 - lo) * self.stp].astype(np.float64), axis=1) / self.pulse_rate
+                )
         carries = [np.zeros((B,), dtype=np.float64)]
         for f0i in f0_interior[:-1]:
             carries.append(
