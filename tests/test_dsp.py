@@ -230,3 +230,24 @@ def test_norm_mell_matches_reference():
             ref = ref_norm_mell(mell.copy(), pc, snd=snd.copy(), num_smooth_iters=iters, use_pinv=use_pinv)
             np.testing.assert_allclose(ours[0], ref[0], rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(ours[1], ref[1], rtol=1e-4, atol=1e-4)
+
+
+def test_db_helpers():
+    from mbexwn_vocoder_tpu.dsp.db import db2lin, lin2db
+
+    np.testing.assert_allclose(lin2db(np.array([1.0, 10.0])), [0.0, 20.0])
+    np.testing.assert_allclose(lin2db(np.array([-1.0])), [0.0])  # abs by default
+    np.testing.assert_allclose(lin2db(np.array([1e-9]), minthresh=1e-3), [-60.0])
+    np.testing.assert_allclose(db2lin(np.array([20.0, -20.0])), [10.0, 0.1])
+
+
+def test_hann_periodic_matches_tf():
+    require_reference()
+    import tensorflow as tf
+
+    from mbexwn_vocoder_tpu.dsp.windows import hann_periodic
+
+    for n in (300, 1200):
+        ours = hann_periodic(n)
+        ref = tf.signal.hann_window(n, periodic=True).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
