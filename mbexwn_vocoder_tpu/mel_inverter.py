@@ -153,6 +153,17 @@ class MELInverter:
             self._jitted[T_pad] = jax.jit(fn) if self.use_jit else fn
         return self._jitted[T_pad]
 
+    def warm(self, buckets=None, batch_size: int = 1) -> None:
+        """Precompile the synthesis programs for the given length buckets
+        (all configured buckets by default).  Useful before serving: first
+        compiles on this TPU toolchain take ~1-4 min per shape."""
+        import jax.numpy as jnp
+
+        for b in buckets or self.length_buckets:
+            mell = np.full((batch_size, b, self.mel_channels), -10.0, dtype=np.float32)
+            y = self._synth_fn(b)(self.params, jnp.asarray(mell))
+            np.asarray(y[0, :4])
+
     def synth_from_mel(self, scaled_mell: np.ndarray) -> np.ndarray:
         """Mel (B, T, C) -> waveform (B*T*hop,) raveled like the reference.
 

@@ -107,3 +107,29 @@ def test_folded_params_at_load(tmp_path):
     y_exact = np.asarray(model.infer(params, jnp.asarray(mel2), synth_length=T * 300)).ravel()
     lead = (T - 32) * 300
     np.testing.assert_allclose(y_pad[:lead], y_exact[:lead], rtol=1e-3, atol=1e-3)
+
+
+def test_mel_inverter_warm(tmp_path):
+    """warm() precompiles selected buckets; subsequent synthesis reuses them."""
+    import os
+
+    from mbexwn_vocoder_tpu.compat.params_io import save_params
+    from mbexwn_vocoder_tpu.config import dump_config, read_config
+    from mbexwn_vocoder_tpu.mel_inverter import MELInverter
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+    mc["normalize_rms_from_mell"] = False
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    save_params(os.path.join(mdir, "weights.npz"), params)
+    dump_config(os.path.join(mdir, "config.yaml"), hp)
+
+    inv = MELInverter(mdir, length_buckets=(16, 32))
+    inv.warm()
+    assert set(inv._jitted.keys()) == {16, 32}
+    y = inv.synth_from_mel(np.zeros((1, 10, 80), np.float32) - 8)
+    assert y.shape == (10 * 300,)
