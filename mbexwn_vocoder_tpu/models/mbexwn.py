@@ -283,6 +283,10 @@ class MBExWN(Module):
                     cond_kernel_size=self.pp_mod_subnet_cond_kernel_size,
                     cond_conv_upsampling=int(curr_pulse_rate // (spect_rate * lin)),
                     cond_lin_upsampling=lin,
+                    # reduced-precision WaveNet activations (MBEXWN_WN_DTYPE=
+                    # bfloat16); params/accumulation stay fp32, the envelope
+                    # path stays fp32 regardless (SURVEY §7.8)
+                    compute_dtype=_os.environ.get("MBEXWN_WN_DTYPE") or None,
                     name=f"PP_waveNetBlock_ups{ups}_{iwn}",
                 )
             )

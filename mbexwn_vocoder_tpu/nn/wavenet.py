@@ -55,6 +55,7 @@ class WaveNetAE(Module):
         pre_cond_layer_channels: Union[Sequence[int], None] = None,
         cond_conv_upsampling: Optional[int] = None,
         cond_lin_upsampling: int = 1,
+        compute_dtype=None,
         name: str = "wavenet",
     ):
         assert kernel_size % 2 == 1
@@ -82,6 +83,10 @@ class WaveNetAE(Module):
         self.disable_conditioning = disable_conditioning
         self.cond_conv_upsampling = cond_conv_upsampling
         self.cond_lin_upsampling = cond_lin_upsampling
+        # reduced-precision activations through the stack (params stay fp32;
+        # the MXU accumulates fp32 either way -- bf16 halves the HBM traffic
+        # of the materialized conv boundaries)
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         self.name = name
 
         conv_kw = dict(use_weight_norm=use_weight_norm, use_equalized_lr=use_equalized_lr)
@@ -175,14 +180,24 @@ class WaveNetAE(Module):
 
     def __call__(self, params, inputs, **_):
         audio_0, spect = inputs
-        started_full = self.start(params["start"], audio_0)
+        in_dtype = audio_0.dtype
+        if self.compute_dtype is not None:
+            audio_0 = audio_0.astype(self.compute_dtype)
+            spect = spect.astype(self.compute_dtype)
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                params,
+            )
+        cd = (lambda t: t.astype(self.compute_dtype)) if self.compute_dtype is not None else (lambda t: t)
+        started_full = cd(self.start(params["start"], audio_0))
 
         cond_layers = None
         if self.cond_layer is not None:
             c = spect
             for ll in self.pre_cond_layers:
-                c = ll(params[ll.name], c)
-            c = self.cond_layer(params["cond"], c)
+                c = cd(ll(params[ll.name], c))
+            c = cd(self.cond_layer(params["cond"], c))
             if self.cond_lin_upsampling_layer is not None:
                 c = self.cond_lin_upsampling_layer({}, c)
                 cond_layers = jnp.split(c, self.n_ch_groups, axis=-1)
@@ -194,7 +209,7 @@ class WaveNetAE(Module):
         for index in range(self.n_layers):
             for i_grp in range(self.n_ch_groups):
                 li = index * self.n_ch_groups + i_grp
-                in_layered = self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp])
+                in_layered = cd(self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp]))
                 if cond_layers is not None:
                     if self.cond_conv_upsampling is not None:
                         in_layered = in_layered + cond_layers[i_grp]
@@ -202,7 +217,7 @@ class WaveNetAE(Module):
                         in_layered = in_layered + cond_layers[li]
                 half_act, half_sigmoid = jnp.split(in_layered, 2, axis=-1)
                 activated = _gate(self.activation, half_act, half_sigmoid)
-                res_skip = self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated)
+                res_skip = cd(self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated))
                 if index < self.n_layers - 1:
                     res, skip = jnp.split(res_skip, 2, axis=-1)
                     started[i_grp] = started[i_grp] + res
@@ -211,7 +226,7 @@ class WaveNetAE(Module):
                 output[i_grp] = skip if output[i_grp] is None else output[i_grp] + skip
 
         out = jnp.concatenate(output, axis=-1) if self.n_ch_groups > 1 else output[0]
-        return self.end(params["end"], out)
+        return self.end(params["end"], out).astype(in_dtype)
 
 
 class WaveNetAEBlock(Module):
@@ -237,6 +252,7 @@ class WaveNetAEBlock(Module):
         cond_conv_upsampling=None,
         cond_lin_upsampling: int = 1,
         pre_cond_layer_channels=None,
+        compute_dtype=None,
         name="wnblock",
     ):
         self.name = name
@@ -259,6 +275,7 @@ class WaveNetAEBlock(Module):
             cond_conv_upsampling=cond_conv_upsampling,
             cond_lin_upsampling=cond_lin_upsampling,
             pre_cond_layer_channels=pre_cond_layer_channels,
+            compute_dtype=compute_dtype,
             name=name + "_WN",
         )
         self.up_down_sample = None

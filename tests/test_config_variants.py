@@ -144,3 +144,23 @@ def test_training_forward_with_rms_normalization():
     }
     new_state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_bf16_wavenet_mode(monkeypatch):
+    """MBEXWN_WN_DTYPE=bfloat16: reduced-precision WaveNet activations;
+    output deviates <~2.5% rel RMSE from fp32 (throughput mode, measured
+    +44% on chip)."""
+    hp = _base_hp()
+    hp["mbexwn_config"]["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    model32, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model32.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4)
+    y32 = np.asarray(model32.infer(params, mel, synth_length=2400))
+
+    monkeypatch.setenv("MBEXWN_WN_DTYPE", "bfloat16")
+    model16, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    y16 = np.asarray(model16.infer(params, mel, synth_length=2400))
+    assert y16.dtype == np.float32  # output stays fp32
+    rel = np.sqrt(np.mean((y16 - y32) ** 2) / (np.mean(y32**2) + 1e-12))
+    assert rel < 0.05, rel
+    assert rel > 0  # actually took the reduced-precision path
