@@ -134,6 +134,15 @@ class MBExWN(Module):
         self.pp_subnet_suppress_uv_gradient = pp_subnet_suppress_uv_gradient
         self.pp_subnet_exclude_from_pretrain = pp_subnet_exclude_from_pretrain
 
+        # reduced-precision mode for the conditioning subnets (F0 predictor /
+        # spectral-envelope stacks).  Activations and kernels run in
+        # MBEXWN_SUBNET_DTYPE (bfloat16); the outputs are cast back to the
+        # input dtype so the oscillator phase integral, the cepstral rDFT/exp,
+        # and the STFT filtering stay fp32.  bf16 quantizes the predicted F0
+        # by ~2^-9 relative (~3 cents) -- acceptable for the speed mode, and
+        # the default stays full precision.
+        self.subnet_compute_dtype = _os.environ.get("MBEXWN_SUBNET_DTYPE") or None
+
         # F0 predictor subnet (frame rate -> pulse rate)
         self.pp_subnet_spec = copy.deepcopy(pp_subnet)
         self.pp_subnet = None
@@ -347,6 +356,20 @@ class MBExWN(Module):
 
     # ------------------------------------------------------------- subpaths
 
+    def _run_subnet(self, subnet, params, mel):
+        """Run a conditioning subnet, optionally in reduced precision.
+
+        With MBEXWN_SUBNET_DTYPE=bfloat16 the kernels and activations are
+        cast to bf16 for the conv stack (halving its HBM traffic) and the
+        result is cast back to the caller's dtype.
+        """
+        dt = self.subnet_compute_dtype
+        if dt is None:
+            return subnet(params, mel)
+        cast = lambda t: t.astype(dt) if jnp.issubdtype(jnp.asarray(t).dtype, jnp.floating) else t
+        p = jax.tree_util.tree_map(cast, params)
+        return subnet(p, mel.astype(dt)).astype(mel.dtype)
+
     def generate_f0(self, params, mel):
         """(B, T_mel, C) -> (B, T_mel*spect_to_pulse_ups) F0 contour in Hz.
 
@@ -354,7 +377,7 @@ class MBExWN(Module):
         """
         T_out = mel.shape[1] * self.spect_to_pulse_upsampling_factor
         if self.pp_subnet is not None:
-            x = self.pp_subnet(params["pp_subnet"], mel)
+            x = self._run_subnet(self.pp_subnet, params["pp_subnet"], mel)
             pulse_frequency = x[:, :, 0] * (self.pp_max_frequency - self.pp_min_frequency) + self.pp_min_frequency
             return pulse_frequency[:, :T_out]
         return jnp.ones((mel.shape[0], T_out), dtype=mel.dtype) * self.pp_max_frequency
@@ -483,7 +506,7 @@ class MBExWN(Module):
 
         reference: custom_pulsed_generator.py:793-855
         """
-        x = self.ps_subnet(params["ps_subnet"], mel)
+        x = self._run_subnet(self.ps_subnet, params["ps_subnet"], mel)
 
         aux = {}
         if self.ps_env_order_scale:
@@ -533,7 +556,7 @@ class MBExWN(Module):
 
     def generate_multiband_gain(self, params, mel, training=False):
         """Non-STFT alternative: per-subband gains (custom_pulsed_generator.py:857-884)."""
-        x = self.ps_subnet(params["ps_subnet"], mel)
+        x = self._run_subnet(self.ps_subnet, params["ps_subnet"], mel)
         aux = {}
         if self.spect_filters_preserve_energy:
             mean_gain = jnp.mean(x, axis=-1, keepdims=True)

@@ -134,8 +134,11 @@ class Conv1DWeightNorm(Module):
             y = post_gain * y
             if bias is not None:
                 y = y + bias
-            return y
-        return conv1d(x, kernel, bias, self.strides, self.dilation_rate, self.padding)
+            return y.astype(x.dtype)
+        # conv1d accumulates in fp32 (preferred_element_type); cast back so a
+        # reduced-precision stack (MBEXWN_SUBNET_DTYPE) keeps bf16 activations
+        # flowing between layers.  No-op in the default fp32 path.
+        return conv1d(x, kernel, bias, self.strides, self.dilation_rate, self.padding).astype(x.dtype)
 
 
 class Conv1DUpDownSample(Conv1DWeightNorm):

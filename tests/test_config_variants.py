@@ -164,3 +164,35 @@ def test_bf16_wavenet_mode(monkeypatch):
     rel = np.sqrt(np.mean((y16 - y32) ** 2) / (np.mean(y32**2) + 1e-12))
     assert rel < 0.05, rel
     assert rel > 0  # actually took the reduced-precision path
+
+def test_bf16_subnet_mode(monkeypatch):
+    """MBEXWN_SUBNET_DTYPE=bfloat16: F0 predictor / envelope subnets run in
+    bf16 (outputs cast back to fp32 before the oscillator phase integral and
+    the cepstral rDFT/exp).  F0 deviates <0.5% rel and the waveform stays
+    close to fp32."""
+    hp = _base_hp()
+    hp["mbexwn_config"]["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    model32, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model32.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4)
+    y32 = np.asarray(model32.infer(params, mel, synth_length=2400))
+    f32 = np.asarray(model32.block.generate_f0(params, mel))
+
+    monkeypatch.setenv("MBEXWN_SUBNET_DTYPE", "bfloat16")
+    model16, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    y16 = np.asarray(model16.infer(params, mel, synth_length=2400))
+    f16 = np.asarray(model16.block.generate_f0(params, mel))
+    assert y16.dtype == np.float32
+    # F0 contour: bf16 quantization on the sigmoid output -> sub-percent
+    f0_rel = np.max(np.abs(f16 - f32) / f32)
+    assert 0 < f0_rel < 0.005, f0_rel
+    # waveform sample-RMSE is NOT meaningful here: integrating a ~0.2%%-
+    # shifted F0 drifts the oscillator phase over the utterance, decorrelating
+    # samples while pitch and envelope (the perceptual quantities) are intact.
+    # Assert the phase-insensitive ones: envelope filter and signal energy.
+    env32 = np.abs(np.asarray(model32.block.generate_specenv(params, mel, jnp.asarray(f32))))
+    env16 = np.abs(np.asarray(model16.block.generate_specenv(params, mel, jnp.asarray(f32))))
+    env_rel = np.sqrt(np.mean((env16 - env32) ** 2) / (np.mean(env32**2) + 1e-12))
+    assert 0 < env_rel < 0.05, env_rel
+    rms32, rms16 = np.sqrt(np.mean(y32**2)), np.sqrt(np.mean(y16**2))
+    assert abs(rms16 / rms32 - 1) < 0.1, (rms16, rms32)
