@@ -432,6 +432,48 @@ class MBExWN(Module):
             audio = jnp.concatenate(chans, axis=-1)
         return audio
 
+    def oscillate_with_pulse_gains(self, params, pulse_frequency, pulse_gain_list,
+                                   pulse_sync_gain_avg=False, return_gain=False,
+                                   phase_offset=None):
+        """Pulse-synchronous-gain oscillator call, mirroring the reference's
+        `PulseWaveTable.call(..., pulse_gain_list=, return_gain=)` surface
+        (tf_wavetable.py:497-600).
+
+        Each gain contour in `pulse_gain_list` ((B, T) at the pulse sample
+        rate, or None) is converted to a per-pulse-constant gain -- sampled at
+        each pulse start (default, tf_wavetable.py:583-591) or averaged over
+        each pulse (`pulse_sync_gain_avg`, tf_wavetable.py:642-712) -- and
+        applied to the oscillator output.  Returns a list of (B, T) signals
+        (None entries pass through); with return_gain, ([audio], [gains]).
+
+        The reference builds the per-pulse gains with boolean_mask + gather
+        over flattened batches; here both modes are gather-free associative
+        hold scans (ops/oscillator.py) that run batched on the VPU.
+        """
+        from ..ops.oscillator import pulse_sync_gain_avg as _avg
+        from ..ops.oscillator import pulse_sync_gain_hold as _hold
+
+        wt = self.wavetable
+        phase = stable_cumsum_and_wrap(pulse_frequency / wt.sample_rate)
+        if phase_offset is not None:
+            phase = jnp.mod(phase + phase_offset[:, None], 1.0)
+        audio = self._oscillate(params, pulse_frequency, phase_offset=phase_offset)[:, :, 0]
+
+        audio_list, gain_list = [], []
+        for pg in pulse_gain_list:
+            if pg is None:
+                (gain_list if return_gain else audio_list).append(None)
+                continue
+            full_gain = _avg(phase, pg) if pulse_sync_gain_avg else _hold(phase, pg)
+            if return_gain:
+                audio_list.append(audio)
+                gain_list.append(full_gain)
+            else:
+                audio_list.append(audio * full_gain)
+        if return_gain:
+            return audio_list, gain_list
+        return audio_list
+
     def generate_excitation(self, params, mel, pulse_frequency, mb_gain=None, noise=None, rng=None,
                             phase_offset=None):
         """Excitation waveform (B, T_mel*hop) at the output sample rate.

@@ -106,3 +106,70 @@ def grid_crossfade(
     diff = log_ratio * norm - jnp.arange(n_grid, dtype=audio_grid.dtype)
     weights = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
     return jnp.sum(audio_grid * weights, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# pulse-synchronous gain (reference: tf_wavetable.py:561-600 hold mode,
+# :642-712 per-pulse-average mode).
+#
+# The reference realizes both modes with boolean_mask + gather over flattened
+# batches; on TPU both are expressed as associative "hold" scans (gather-free,
+# O(log T) depth, fully batched).
+
+
+def hold_last(values: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """out[t] = values[s] for the largest s <= t with mask[s] True.
+
+    mask must be True at index 0 along `axis` (every sample has a preceding
+    marked position).  The combine op (keep right value if right is marked)
+    is associative, so this runs as a logarithmic-depth parallel scan.
+    """
+
+    def combine(a, b):
+        av, am = a
+        bv, bm = b
+        return jnp.where(bm, bv, av), am | bm
+
+    v, _ = jax.lax.associative_scan(combine, (values, mask), axis=axis)
+    return v
+
+
+def pulse_start_mask(wrapped_phase: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) bool mask, True at t=0 and wherever the mod-1 phase wraps
+    (tf_wavetable.py:584-585)."""
+    first = jnp.ones_like(wrapped_phase[:, :1], dtype=bool)
+    return jnp.concatenate([first, wrapped_phase[:, 1:] < wrapped_phase[:, :-1]], axis=1)
+
+
+def pulse_sync_gain_hold(wrapped_phase: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
+    """Sample `gain` at each pulse start and hold it over the pulse.
+
+    reference: tf_wavetable.py:583-591 (boolean_mask + cumsum-index gather);
+    here a single forward hold scan.
+    """
+    return hold_last(gain, pulse_start_mask(wrapped_phase))
+
+
+def pulse_sync_gain_avg(wrapped_phase: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
+    """Replace `gain` by its mean over each pulse (segment between phase
+    wraps; the trailing partial pulse is averaged over its own extent).
+
+    reference: tf_wavetable.py:684-711 (flattened boolean_mask segment sums);
+    here: segment mean = (csum_at_end - csum_before_start) / length with the
+    four boundary quantities produced by forward/backward hold scans.
+    """
+    B, T = wrapped_phase.shape
+    last = jnp.ones((B, 1), dtype=bool)
+    # segment END at t: the phase wraps between t and t+1 (tf_wavetable.py:687)
+    end = jnp.concatenate([wrapped_phase[:, :-1] > wrapped_phase[:, 1:], last], axis=1)
+    start = jnp.concatenate([last, end[:, :-1]], axis=1)
+
+    cs = jnp.cumsum(gain, axis=-1)
+    excl = cs - gain
+    idx = jnp.broadcast_to(jnp.arange(T, dtype=gain.dtype), (B, T))
+
+    a = hold_last(excl, start)  # cumsum just before the segment start
+    s = hold_last(idx, start)
+    b = hold_last(cs[:, ::-1], end[:, ::-1])[:, ::-1]  # cumsum at segment end
+    e = hold_last(idx[:, ::-1], end[:, ::-1])[:, ::-1]
+    return (b - a) / (e - s + 1.0)
