@@ -159,11 +159,15 @@ def norm_mell(mell, preprocess_config, snd=None, de_normalize_snd=False, mell_is
 
 def compute_mel_spectrogram_internal(sound, preprocess_config, dtype=np.dtype("float32"),
                                      force=False, band_limit=None, pad_mode="reflect",
-                                     center=True, return_STFT=False, do_post=True):
+                                     center=True, return_STFT=False, do_post=True,
+                                     return_band_limited_mel=False):
     """Log-amplitude mel spectrogram (B, T, n_mels) from audio (B, T_samples).
 
-    reference: preprocess.py:417-572.  The STFT-domain band-limit filter path
-    (which needs the unshipped external STFT class upstream) is not supported.
+    reference: preprocess.py:417-572.  The STFT-domain band-limit path
+    (band_limit=(low_hz, high_hz, stop_hz): zero below low, linear fade
+    high->stop, zero above stop; preprocess.py:493-545) needs an external
+    unshipped STFT class upstream -- here it runs natively on dsp/stft.py's
+    analysis/LSE-resynthesis pair.
     """
     sound = np.asarray(sound)
     if (not force) and (np.max(sound.shape) != sound.shape[-1]):
@@ -173,14 +177,52 @@ def compute_mel_spectrogram_internal(sound, preprocess_config, dtype=np.dtype("f
         )
     if sound.ndim == 1:
         sound = sound[np.newaxis, :]
-    if band_limit is not None:
-        raise NotImplementedError("band_limit filtering is not supported in this implementation")
 
     win_len = preprocess_config.get("win_size", preprocess_config["fft_size"])
+    fft_size = preprocess_config["fft_size"]
+    hop_size = preprocess_config["hop_size"]
 
-    S = calc_stft(sound, win_len=win_len, hop_len=preprocess_config["hop_size"],
-                  fft_size=preprocess_config["fft_size"], win_type="hann", center=center,
-                  pad_mode=pad_mode, do_mag=True, axis=-1, dtype=dtype)
+    if band_limit is None:
+        S = calc_stft(sound, win_len=win_len, hop_len=hop_size,
+                      fft_size=fft_size, win_type="hann", center=center,
+                      pad_mode=pad_mode, do_mag=True, axis=-1, dtype=dtype)
+    else:
+        if len(band_limit) != 3:
+            raise RuntimeError(
+                "compute_mel_spectrogram_internal::if the band_limit parameter is not None it needs "
+                "to contain three values: band_lim_low_hz, band_lim_high_hz, band_stop_high_hz"
+            )
+        from .dsp.stft import calc_istft
+
+        spec = calc_stft(sound, win_len=win_len, hop_len=hop_size, fft_size=fft_size,
+                         win_type="hann", center=center, pad_mode=pad_mode,
+                         do_mag=False, axis=-1, dtype=dtype)
+        bin_freqs = np.arange(fft_size // 2 + 1) * preprocess_config["sample_rate"] / fft_size
+        filt = np.ones((1, bin_freqs.size), dtype=dtype)
+
+        def _first_larger(v):  # find_1st(..., cmp_larger) semantics incl. -1
+            above = bin_freqs > v
+            return int(np.argmax(above)) if above.any() else -1
+
+        if band_limit[0]:
+            ind = _first_larger(band_limit[0])
+            if ind >= 0:
+                filt[:, :ind] = 0
+        if band_limit[1]:
+            ind_high = _first_larger(band_limit[1])
+            ind_stop = _first_larger(band_limit[2])
+            if ind_high >= 0 and ind_stop > ind_high:
+                filt[:, ind_high:ind_stop] = np.linspace(1, 0, ind_stop - ind_high)
+            if ind_stop > 0:
+                filt[:, ind_stop:] = 0
+
+        if not return_band_limited_mel:
+            S = np.abs(spec).astype(dtype)
+        spec = spec * filt
+        sound = calc_istft(spec, win_len=win_len, hop_len=hop_size, fft_size=fft_size,
+                           length=sound.shape[-1], win_type="hann", dtype=dtype)
+        if return_band_limited_mel:
+            S = np.abs(spec).astype(dtype)
 
     mel_basis = mel_filter(sr=preprocess_config["sample_rate"], n_fft=preprocess_config["fft_size"],
                            n_mels=preprocess_config["mel_channels"],

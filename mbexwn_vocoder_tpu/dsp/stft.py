@@ -80,3 +80,29 @@ def calc_stft(
     if axis != x.ndim - 1:
         spec = np.moveaxis(spec, (-2, -1), (axis, axis + 1))
     return spec
+
+
+def calc_istft(spec, win_len, hop_len, fft_size, length, win_type="hann",
+               dtype=np.dtype("float32")):
+    """Least-squares inverse of calc_stft(center=True): windowed overlap-add
+    normalised by the window-square OLA sum.
+
+    Exact for consistent spectra; for filtered spectra this is the standard
+    LSE resynthesis.  The reference delegates this to an external STFT class
+    (preprocess.py:16-25 `have_STFT` guard) that is not shipped; here it is
+    native so the band-limit analysis path works out of the box.
+    """
+    spec = np.asarray(spec)
+    win = get_stft_window(win_type=win_type, win_len=win_len, dtype=dtype)
+    frames = np.fft.irfft(spec, fft_size, axis=-1)[..., :win_len].astype(dtype) * win
+    n_frames = frames.shape[-2]
+    total = (n_frames - 1) * hop_len + win_len
+    out = np.zeros(frames.shape[:-2] + (total,), dtype)
+    norm = np.zeros(total, dtype)
+    wsq = win * win
+    for i in range(n_frames):
+        out[..., i * hop_len : i * hop_len + win_len] += frames[..., i, :]
+        norm[i * hop_len : i * hop_len + win_len] += wsq
+    out = out / np.fmax(norm, np.finfo(dtype).eps)
+    start = win_len // 2
+    return out[..., start : start + length]

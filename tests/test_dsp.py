@@ -251,3 +251,48 @@ def test_hann_periodic_matches_tf():
         ours = hann_periodic(n)
         ref = tf.signal.hann_window(n, periodic=True).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_istft_roundtrip_exact():
+    """calc_istft is the exact LSE inverse of calc_stft for consistent spectra."""
+    from mbexwn_vocoder_tpu.dsp.stft import calc_istft, calc_stft
+
+    x = np.random.RandomState(0).randn(2, 4800).astype(np.float32)
+    S = calc_stft(x, win_len=1200, hop_len=300, fft_size=2048, do_mag=False)
+    y = calc_istft(S, win_len=1200, hop_len=300, fft_size=2048, length=4800)
+    np.testing.assert_allclose(y, x, atol=2e-6)
+
+
+def test_band_limit_analysis_path():
+    """compute_mel_spectrogram_internal band_limit: (low, high, stop) filter,
+    resynthesized sound returned; mel from the unfiltered magnitude by default
+    (reference preprocess.py:493-545)."""
+    from mbexwn_vocoder_tpu.analysis import compute_mel_spectrogram_internal
+
+    pc = {"sample_rate": 24000, "fft_size": 2048, "win_size": 1200, "hop_size": 300,
+          "mel_channels": 80, "fmin": 0.0, "fmax": 12000.0}
+    rng = np.random.RandomState(1)
+    snd = rng.randn(1, 24000).astype(np.float32) * 0.1
+
+    mel_plain, sr_plain = compute_mel_spectrogram_internal(snd, pc, do_post=False)
+    out = compute_mel_spectrogram_internal(snd, pc, band_limit=(100.0, 8000.0, 10000.0),
+                                           do_post=False)
+    mel_bl = out[0]
+    # default: mel computed from the UNFILTERED magnitude -> identical
+    np.testing.assert_allclose(mel_bl, mel_plain, atol=1e-5)
+
+    # the filtered, resynthesized sound has the stop band removed
+    pc2 = dict(pc, norm_mel={"num_smooth_iters": 1})
+    mel2, sr2, snd_out = compute_mel_spectrogram_internal(
+        snd, pc2, band_limit=(100.0, 8000.0, 10000.0))
+    spec_in = np.abs(np.fft.rfft(snd[0]))
+    spec_out = np.abs(np.fft.rfft(np.asarray(snd_out)[0] * np.std(snd) / (np.std(snd_out) + 1e-12)))
+    freqs = np.fft.rfftfreq(24000, 1 / 24000.0)
+    hi_in = spec_in[freqs > 10500].mean()
+    hi_out = spec_out[freqs > 10500].mean()
+    assert hi_out < 0.05 * hi_in, (hi_out, hi_in)
+
+    # return_band_limited_mel: mel now reflects the filtered magnitude
+    out_bl = compute_mel_spectrogram_internal(snd, pc, band_limit=(100.0, 8000.0, 10000.0),
+                                              do_post=False, return_band_limited_mel=True)
+    assert not np.allclose(out_bl[0], mel_plain, atol=1e-3)
