@@ -247,3 +247,41 @@ def compute_mel_spectrogram_internal(sound, preprocess_config, dtype=np.dtype("f
     if return_STFT:
         return mell, mel_srate, S
     return mell, mel_srate
+
+
+def get_mel_lin_interpol_params(preprocess_config, n_fft):
+    """Extended-range unnormalized mel basis for mel-domain interpolation.
+
+    reference: preprocess.py:381-414.  Returns (gain_fac, mel_interpolator,
+    ext_low_int, ext_high_int): gain_fac undoes the slaney area norm of the
+    model's mel basis; mel_interpolator is an unnormalized triangle basis on
+    the same mel grid extended below fmin and above fmax so the full
+    [0, sr] range is covered while the original band centers are preserved.
+    """
+    from .dsp.mel import hz_to_mel, mel_to_hz
+
+    mel_basis = mel_filter(
+        sr=preprocess_config["sample_rate"], n_fft=preprocess_config["fft_size"],
+        n_mels=preprocess_config["mel_channels"],
+        fmin=preprocess_config["fmin"], fmax=preprocess_config["fmax"],
+    )
+    gain_fac = np.sum(mel_basis, axis=1)
+
+    n_mels = preprocess_config["mel_channels"]
+    mel_f = mel_frequencies(n_mels=n_mels + 2, fmin=preprocess_config["fmin"],
+                            fmax=preprocess_config["fmax"])
+    dmel = (hz_to_mel(mel_f[-1]) - hz_to_mel(mel_f[0])) / (n_mels - 1)
+
+    ext_low_int = int(np.floor((hz_to_mel(mel_f[0]) - (-dmel)) / dmel))
+    ext_low_hz = mel_to_hz(hz_to_mel(mel_f[0]) - ext_low_int * dmel)
+    ext_high_int = int(np.ceil(
+        (hz_to_mel(dmel + preprocess_config["sample_rate"]) - hz_to_mel(mel_f[-1])) / dmel
+    ))
+    ext_high_hz = mel_to_hz(hz_to_mel(mel_f[-1]) + ext_high_int * dmel)
+
+    mel_interpolator = mel_filter(
+        sr=preprocess_config["sample_rate"], n_fft=n_fft,
+        n_mels=n_mels + ext_low_int + ext_high_int,
+        fmin=ext_low_hz, fmax=ext_high_hz, norm=False,
+    )
+    return gain_fac, mel_interpolator, ext_low_int, ext_high_int

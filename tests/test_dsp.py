@@ -296,3 +296,23 @@ def test_band_limit_analysis_path():
     out_bl = compute_mel_spectrogram_internal(snd, pc, band_limit=(100.0, 8000.0, 10000.0),
                                               do_post=False, return_band_limited_mel=True)
     assert not np.allclose(out_bl[0], mel_plain, atol=1e-3)
+
+
+def test_mel_lin_interpol_params():
+    """get_mel_lin_interpol_params matches the reference implementation
+    (preprocess.py:381-414) exactly, including its extended-grid spacing
+    quirk (dmel over n_mels-1)."""
+    require_reference()
+    from MBExWN_NVoc.vocoder.model.preprocess import (
+        get_mel_lin_interpol_params as ref_fn,
+    )
+
+    from mbexwn_vocoder_tpu.analysis import get_mel_lin_interpol_params
+
+    pc = {"sample_rate": 24000, "fft_size": 2048, "mel_channels": 80,
+          "fmin": 0.0, "fmax": 12000.0}
+    gain_fac, mi, lo, hi = get_mel_lin_interpol_params(pc, 2048)
+    ref_gain, ref_mi, ref_lo, ref_hi = ref_fn(pc, 2048)
+    assert (lo, hi) == (ref_lo, ref_hi)
+    np.testing.assert_allclose(gain_fac, ref_gain, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(mi, ref_mi, rtol=1e-4, atol=1e-7)
