@@ -54,3 +54,27 @@ def pqmf_filters(subbands: int, taps: int, cutoff_ratio: float, beta: float, max
     analysis = np.transpose(h_analysis[:, np.newaxis, :], (2, 1, 0)).astype(np.float32)
     synthesis = np.transpose(h_synthesis[np.newaxis, :, :], (2, 1, 0)).astype(np.float32)
     return analysis, synthesis
+
+
+def design_prototype_filter_differentiable(cutoff_ratio, taps: int = 62, beta: float = 9.0):
+    """JAX version of design_prototype_filter with a traced cutoff_ratio.
+
+    reference: tf_preprocess.py:56-65 (tf.Variable cutoff path, which makes
+    the PQMF cutoff trainable).  All ops are jnp so gradients flow into
+    cutoff_ratio; the Kaiser window is fixed (does not depend on the cutoff).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    assert taps % 2 == 0, "The number of taps must be an even number."
+    n = jnp.arange(taps + 1) - 0.5 * taps
+    omega_c = jnp.pi * cutoff_ratio
+    half = taps // 2
+    left = jnp.sin(omega_c * n[:half]) / (jnp.pi * n[:half])
+    right = jnp.sin(omega_c * n[half + 1 :]) / (jnp.pi * n[half + 1 :])
+    h_i = jnp.concatenate([left, jnp.reshape(cutoff_ratio, (1,)), right])
+
+    r = n / (0.5 * taps)
+    w = jax.scipy.special.i0(beta * jnp.sqrt(jnp.clip(1.0 - r * r, 0.0, 1.0)))
+    w = w / jax.scipy.special.i0(jnp.asarray(beta))
+    return h_i * w

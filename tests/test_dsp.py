@@ -316,3 +316,24 @@ def test_mel_lin_interpol_params():
     assert (lo, hi) == (ref_lo, ref_hi)
     np.testing.assert_allclose(gain_fac, ref_gain, rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(mi, ref_mi, rtol=1e-4, atol=1e-7)
+
+
+def test_differentiable_prototype_filter():
+    """JAX trainable-cutoff prototype (reference tf_preprocess.py:56-65):
+    matches the numpy design at the same cutoff and is differentiable."""
+    import jax
+    import jax.numpy as jnp
+
+    from mbexwn_vocoder_tpu.dsp.pqmf import (
+        design_prototype_filter,
+        design_prototype_filter_differentiable,
+    )
+
+    h_np = design_prototype_filter(62, 0.15, 9.0)
+    h_jx = np.asarray(design_prototype_filter_differentiable(jnp.float32(0.15), 62, 9.0))
+    np.testing.assert_allclose(h_jx, h_np, rtol=2e-5, atol=1e-7)
+
+    g = jax.grad(lambda c: jnp.sum(design_prototype_filter_differentiable(c, 62, 9.0) ** 2))(
+        jnp.float32(0.15)
+    )
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
