@@ -11,7 +11,7 @@ import sys
 import numpy as np
 
 
-def _load_mel(infile, preprocess_config, cargs=None):
+def _load_mel(infile, preprocess_config, noise_mask_atten_db=None):
     from ..analysis import compute_mel_spectrogram_internal
     from ..compat import iovar
     from ..compat.audio_io import read_wav
@@ -26,11 +26,17 @@ def _load_mel(infile, preprocess_config, cargs=None):
     snd, sr = read_wav(infile)
     if sr != preprocess_config["sample_rate"]:
         snd, _ = resample(snd, sr, preprocess_config["sample_rate"], axis=0)
+    if noise_mask_atten_db is not None:
+        # masking noise before analysis (reference bin/view_mel.py:99-100):
+        # reveals which mel structure survives a given noise floor
+        snd = snd + 10 ** (-noise_mask_atten_db / 20) * np.sqrt(np.mean(snd * snd)) \
+            * np.random.standard_normal(snd.shape).astype(snd.dtype)
     mell, _ = compute_mel_spectrogram_internal(snd, preprocess_config=preprocess_config, do_post=False)
     return mell[0], preprocess_config["sample_rate"]
 
 
-def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, cargs=None):
+def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, cargs=None,
+         noise_mask_atten_db=None):
     from .. import get_config_file
     from ..config import config_utils as cutils
     from ..dsp.db import log_to_db
@@ -42,7 +48,7 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
 
     mels = []
     for f in infiles:
-        mell, sr = _load_mel(f, preprocess_config)
+        mell, sr = _load_mel(f, preprocess_config, noise_mask_atten_db=noise_mask_atten_db)
         mels.append((f, mell))
         mdb = log_to_db * mell
         print(
@@ -93,6 +99,8 @@ def cli():
     parser.add_argument("-r", "--max_atten", default=50, type=int)
     parser.add_argument("-a", "--cargs", default=None, nargs="+",
                         help="config overrides with ':' as field separator")
+    parser.add_argument("-n", "--noise_mask_atten_db", default=None, type=float,
+                        help="masking noise added before calculating the mel spectrum")
     args = parser.parse_args()
     main(**vars(args))
 
