@@ -36,7 +36,7 @@ def _load_mel(infile, preprocess_config, noise_mask_atten_db=None):
 
 
 def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, cargs=None,
-         noise_mask_atten_db=None):
+         noise_mask_atten_db=None, plot_snds=False):
     from .. import get_config_file
     from ..config import config_utils as cutils
     from ..dsp.db import log_to_db
@@ -47,8 +47,13 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
     preprocess_config = hparams["preprocess_config"]
 
     mels = []
+    snds = {}
     for f in infiles:
         mell, sr = _load_mel(f, preprocess_config, noise_mask_atten_db=noise_mask_atten_db)
+        if plot_snds and not (f.endswith(".mell") or f.endswith(".mell.gz") or f.endswith(".p")):
+            from ..compat.audio_io import read_wav
+
+            snds[f] = read_wav(f)[0]
         mels.append((f, mell))
         mdb = log_to_db * mell
         print(
@@ -68,18 +73,25 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        n = len(mels) + (1 if (diff_mel and len(mels) >= 2) else 0)
+        n = len(mels) + (1 if (diff_mel and len(mels) >= 2) else 0) + (len(snds) if plot_snds else 0)
         fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False)
         for i, (f, mell) in enumerate(mels):
             mdb = log_to_db * mell.T
             vmax = np.max(mdb)
             axes[i][0].imshow(mdb, origin="lower", aspect="auto", vmin=vmax - max_atten, vmax=vmax)
             axes[i][0].set_title(os.path.basename(f))
+        row = len(mels)
+        if plot_snds:
+            # waveform panels (reference bin/view_mel.py:116-146 second figure)
+            for f, snd in snds.items():
+                axes[row][0].plot(np.arange(snd.shape[0]) / preprocess_config["sample_rate"], snd)
+                axes[row][0].set_title(f"snd {os.path.basename(f)}")
+                row += 1
         if diff_mel and len(mels) >= 2:
             T = min(m.shape[0] for _, m in mels)
             dd = log_to_db * (mels[0][1][:T] - mels[1][1][:T]).T
-            axes[-1][0].imshow(dd, origin="lower", aspect="auto")
-            axes[-1][0].set_title("diff (dB)")
+            axes[row][0].imshow(dd, origin="lower", aspect="auto")
+            axes[row][0].set_title("diff (dB)")
         fig.tight_layout()
         fig.savefig(output)
         print(f"wrote {output}", file=sys.stderr)
@@ -101,6 +113,8 @@ def cli():
                         help="config overrides with ':' as field separator")
     parser.add_argument("-n", "--noise_mask_atten_db", default=None, type=float,
                         help="masking noise added before calculating the mel spectrum")
+    parser.add_argument("-ps", "--plot_snds", action="store_true",
+                        help="also plot the waveforms of audio inputs")
     args = parser.parse_args()
     main(**vars(args))
 
