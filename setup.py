@@ -26,6 +26,7 @@ setup(
             "mbexwn_view_mel=mbexwn_vocoder_tpu.cli.view_mel:cli",
             "mbexwn_train=mbexwn_vocoder_tpu.cli.train:cli",
             "mbexwn_convert_checkpoint=mbexwn_vocoder_tpu.cli.convert_checkpoint:cli",
+            "mbexwn_export_model=mbexwn_vocoder_tpu.cli.export_model:cli",
         ]
     },
 )

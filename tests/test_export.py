@@ -1,0 +1,66 @@
+"""AOT export: serialized StableHLO artifacts (compat/export.py)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mbexwn_vocoder_tpu as mv
+from mbexwn_vocoder_tpu.config import dump_config, read_config
+from mbexwn_vocoder_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def small_model_dir(tmp_path_factory):
+    from mbexwn_vocoder_tpu.compat.params_io import save_params
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+    mc["normalize_rms_from_mell"] = False
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    d = str(tmp_path_factory.mktemp("aot"))
+    save_params(os.path.join(d, "weights.npz"), params)
+    dump_config(os.path.join(d, "config.yaml"), hp)
+    return d, model, params
+
+
+def test_export_roundtrip(small_model_dir):
+    """Export -> deserialize -> call matches direct infer; artifact is
+    self-contained (params baked as constants)."""
+    from mbexwn_vocoder_tpu.compat.export import export_synthesis, load_exported
+
+    d, model, params = small_model_dir
+    blob = export_synthesis(model, params, T_mel=8, batch_size=1)
+    assert len(blob) > 10_000  # params are inside
+    call, meta = load_exported(blob)
+    assert meta["T_mel"] == 8 and meta["hop_size"] == 300
+
+    mel = np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
+    y_aot = np.asarray(call(mel))
+    y_ref = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=2400))
+    np.testing.assert_allclose(y_aot, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_export_model_dir_and_serve(small_model_dir, tmp_path):
+    """Directory-level export + one-call serving helper."""
+    from mbexwn_vocoder_tpu.compat.export import export_model_dir, synth_from_artifact
+
+    d, model, params = small_model_dir
+    out = str(tmp_path / "model.aot")
+    meta = export_model_dir(d, out, T_mel=8)
+    assert os.path.exists(out) and meta["bytes"] > 10_000
+    mel = np.random.RandomState(1).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
+    y = synth_from_artifact(out, mel)
+    assert y.shape == (1, 2400) and np.all(np.isfinite(y))
+
+
+def test_export_rejects_garbage():
+    from mbexwn_vocoder_tpu.compat.export import load_exported
+
+    with pytest.raises(ValueError):
+        load_exported(b"not an artifact")
