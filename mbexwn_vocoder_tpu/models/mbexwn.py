@@ -93,6 +93,7 @@ class MBExWN(Module):
         internal_fft_over: int = 0,
         name: str = "MBExWNGen",
         quiet: bool = True,
+        remat_wavenet_blocks: bool = False,
     ):
         self.name = name
         self.preprocess_config = copy.deepcopy(preprocess_config)
@@ -103,6 +104,7 @@ class MBExWN(Module):
         self.force_causal = force_causal
         self.use_prelu = use_prelu
         self.alpha = alpha
+        self.remat_wavenet_blocks = remat_wavenet_blocks
         self.remove_inactive_pad_layers = remove_inactive_pad_layers
 
         # internal rate algebra (custom_pulsed_generator.py:334-353)
@@ -505,7 +507,15 @@ class MBExWN(Module):
             x = jnp.concatenate((x, self.pp_mod_subnet_noise_channel_sigma * noise), axis=-1)
 
         for bl in self.pp_waveNetBlocks:
-            x = bl(params[bl.name], (x, mel))
+            if self.remat_wavenet_blocks:
+                # rematerialize each block under grad: trades ~n_layers x
+                # (B, T, n_channels) activation storage for a second forward
+                # pass -- the standard TPU HBM/FLOP trade for training long
+                # segments (no reference counterpart; TF keeps all
+                # activations)
+                x = jax.checkpoint(lambda p, xm, _bl=bl: _bl(p, xm))(params[bl.name], (x, mel))
+            else:
+                x = bl(params[bl.name], (x, mel))
         x = self.wn_post_net(params["wn_post_net"], x)
 
         if mb_gain is not None:

@@ -146,3 +146,44 @@ def test_dp_matches_single_device(trainer_setup):
     l_dp = jax.tree_util.tree_leaves(s_dp.params)[0]
     l_1 = jax.tree_util.tree_leaves(s_1.params)[0]
     np.testing.assert_allclose(np.asarray(l_dp), np.asarray(l_1), rtol=1e-4, atol=1e-6)
+
+
+def test_remat_wavenet_blocks_gradient_equivalence():
+    """mbexwn_config remat_wavenet_blocks=True: jax.checkpoint around each
+    WaveNet block changes memory, not math -- loss and grads match the
+    non-remat model."""
+    import mbexwn_vocoder_tpu as mv
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    from mbexwn_vocoder_tpu.training import Trainer
+
+    def build(remat):
+        hp = read_config(mv.get_config_file("SPEECH"))
+        mc = hp["mbexwn_config"]
+        mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+        mc["normalize_rms_from_mell"] = False
+        mc["remat_wavenet_blocks"] = remat
+        model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+        return model, hp
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, 2400).astype(np.float32) * 0.1),
+        "mel": jnp.asarray((rng.randn(2, 8, 80) * 0.5 - 4).astype(np.float32)),
+        "F0": jnp.asarray((120 + 10 * rng.randn(2, 2400)).astype(np.float32)),
+    }
+    results = []
+    for remat in (False, True):
+        model, hp = build(remat)
+        trainer = Trainer(model, hp)
+        state = trainer.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=2)
+        new_state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+        results.append((float(metrics["total_loss"]), new_state.params))
+
+    (l0, p0), (l1, p1) = results
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for (k0, a), (k1, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p0), jax.tree_util.tree_leaves_with_path(p1)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(k0))
