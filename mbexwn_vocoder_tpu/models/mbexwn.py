@@ -298,6 +298,9 @@ class MBExWN(Module):
                     # bfloat16); params/accumulation stay fp32, the envelope
                     # path stays fp32 regardless (SURVEY §7.8)
                     compute_dtype=_os.environ.get("MBEXWN_WN_DTYPE") or None,
+                    # MBEXWN_TP_AXIS=model: shard the WaveNet channel dim over
+                    # that mesh axis (needs an ambient jax.set_mesh mesh)
+                    tp_axis=_os.environ.get("MBEXWN_TP_AXIS") or None,
                     name=f"PP_waveNetBlock_ups{ups}_{iwn}",
                 )
             )

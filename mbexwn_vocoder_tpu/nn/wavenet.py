@@ -56,6 +56,7 @@ class WaveNetAE(Module):
         cond_conv_upsampling: Optional[int] = None,
         cond_lin_upsampling: int = 1,
         compute_dtype=None,
+        tp_axis: Optional[str] = None,
         name: str = "wavenet",
     ):
         assert kernel_size % 2 == 1
@@ -87,6 +88,10 @@ class WaveNetAE(Module):
         # the MXU accumulates fp32 either way -- bf16 halves the HBM traffic
         # of the materialized conv boundaries)
         self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+        # tensor parallelism: mesh-axis name to shard the hidden channel dim
+        # over (GSPMD sharding constraints; XLA inserts the collectives).
+        # Requires an ambient mesh (jax.set_mesh) carrying this axis.
+        self.tp_axis = tp_axis
         self.name = name
 
         conv_kw = dict(use_weight_norm=use_weight_norm, use_equalized_lr=use_equalized_lr)
@@ -190,7 +195,14 @@ class WaveNetAE(Module):
                 params,
             )
         cd = (lambda t: t.astype(self.compute_dtype)) if self.compute_dtype is not None else (lambda t: t)
-        started_full = cd(self.start(params["start"], audio_0))
+        if self.tp_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            _spec = _P(None, None, self.tp_axis)
+            tp = lambda t: jax.lax.with_sharding_constraint(t, _spec)
+        else:
+            tp = lambda t: t
+        started_full = tp(cd(self.start(params["start"], audio_0)))
 
         cond_layers = None
         if self.cond_layer is not None:
@@ -209,7 +221,7 @@ class WaveNetAE(Module):
         for index in range(self.n_layers):
             for i_grp in range(self.n_ch_groups):
                 li = index * self.n_ch_groups + i_grp
-                in_layered = cd(self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp]))
+                in_layered = tp(cd(self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp])))
                 if cond_layers is not None:
                     if self.cond_conv_upsampling is not None:
                         in_layered = in_layered + cond_layers[i_grp]
@@ -217,7 +229,7 @@ class WaveNetAE(Module):
                         in_layered = in_layered + cond_layers[li]
                 half_act, half_sigmoid = jnp.split(in_layered, 2, axis=-1)
                 activated = _gate(self.activation, half_act, half_sigmoid)
-                res_skip = cd(self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated))
+                res_skip = tp(cd(self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated)))
                 if index < self.n_layers - 1:
                     res, skip = jnp.split(res_skip, 2, axis=-1)
                     started[i_grp] = started[i_grp] + res
@@ -253,6 +265,7 @@ class WaveNetAEBlock(Module):
         cond_lin_upsampling: int = 1,
         pre_cond_layer_channels=None,
         compute_dtype=None,
+        tp_axis=None,
         name="wnblock",
     ):
         self.name = name
@@ -276,6 +289,7 @@ class WaveNetAEBlock(Module):
             cond_lin_upsampling=cond_lin_upsampling,
             pre_cond_layer_channels=pre_cond_layer_channels,
             compute_dtype=compute_dtype,
+            tp_axis=tp_axis,
             name=name + "_WN",
         )
         self.up_down_sample = None

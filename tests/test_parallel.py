@@ -117,3 +117,33 @@ def test_synth_batched_matches_one_shot(model_params):
     y_s = ss.synth(mell)
     rel2 = np.sqrt(np.mean((y_b - y_s) ** 2) / (np.mean(y_s**2) + 1e-12))
     assert rel2 < 2e-3, rel2
+
+
+def test_tensor_parallel_wavenet(monkeypatch):
+    """MBEXWN_TP_AXIS=model: WaveNet channel dim sharded over the 'model'
+    mesh axis via GSPMD constraints -- output matches the unsharded model."""
+    import os
+
+    import mbexwn_vocoder_tpu as mv
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    from mbexwn_vocoder_tpu.parallel.mesh import make_mesh
+
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+    mc["normalize_rms_from_mell"] = False
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=2, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 8, 80).astype(np.float32) * 0.5 - 4)
+    y_ref = np.asarray(model.infer(params, mel, synth_length=2400))
+
+    monkeypatch.setenv("MBEXWN_TP_AXIS", "model")
+    model_tp, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        y_tp = np.asarray(jax.jit(
+            lambda p, m: model_tp.infer(p, m, synth_length=2400)
+        )(params, mel))
+    np.testing.assert_allclose(y_tp, y_ref, rtol=1e-3, atol=2e-4)
