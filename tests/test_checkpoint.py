@@ -57,6 +57,7 @@ def test_weights_tf_conversion_roundtrip(tmp_path):
     hp = _small_hp()
     hp_ref = copy.deepcopy(hp)
     hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+    hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
 
     tf.random.set_seed(1)
     ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],

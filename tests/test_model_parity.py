@@ -43,6 +43,8 @@ def models_and_params():
     hp = _oracle_hparams()
     hp_ref = copy.deepcopy(hp)
     hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+    # keys this framework adds beyond the reference schema
+    hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
 
     ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
                                     quiet=True, use_tf25_compatible_implementation=True)
