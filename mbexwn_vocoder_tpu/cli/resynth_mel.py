@@ -74,7 +74,21 @@ def cli():
     parser.add_argument("--format", default="wav", help="audio format (wav)")
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument("-q", "--quiet", action="store_true")
+    parser.add_argument("--cpu_threads", type=int, default=None,
+                        help="bound host CPU threads for fair CPU benchmarking "
+                             "(reference default: 2; resynth_mel.py:61-62)")
     args = parser.parse_args()
+    if args.cpu_threads is not None:
+        # must happen before the jax backend initializes
+        import os as _os
+
+        _os.environ["XLA_FLAGS"] = (
+            _os.environ.get("XLA_FLAGS", "")
+            + f" --xla_cpu_multi_thread_eigen={'true' if args.cpu_threads > 1 else 'false'}"
+            + f" intra_op_parallelism_threads={args.cpu_threads}"
+        ).strip()
+        _os.environ.setdefault("OMP_NUM_THREADS", str(args.cpu_threads))
+    del args.cpu_threads
 
     if not args.model_id:
         print("Please select one of the following models for mel inversion:")
