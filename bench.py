@@ -21,6 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RT = 200.0  # reference: up to 200x real time on GPU (README.md:225)
 
 
+def _enable_persistent_compile_cache():
+    """Persistent XLA compilation cache: a cold driver run pays the 90-250 s
+    full-model compile at most once per shape; retries and later rounds hit
+    the disk cache.  Must run before the first jax computation."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as exc:  # cache is best-effort; never fail the bench
+        print(f"persistent compile cache unavailable: {exc}", file=sys.stderr)
+
+
 def bench_config(model, params, B, T_mel, n_iters=16, n_inputs=4):
     """Steady-state throughput with DISTINCT inputs per call and a host
     readback at the end: the runtime dedupes identical async enqueues and
@@ -107,11 +122,15 @@ def bench_scaling(n_list=(1, 2, 4, 8)):
     from mbexwn_vocoder_tpu.models import create_model
     import mbexwn_vocoder_tpu as mv
 
+    # full flagship config: weak-scaling numbers describe the real model
+    # (on a single-chip image this runs on the virtual CPU mesh, which
+    # validates sharding/collective correctness and per-device balance, not
+    # ICI bandwidth -- the platform is reported with the numbers)
     hp = read_config(mv.get_config_file("SPEECH"))
-    hp["mbexwn_config"]["pp_mod_subnet"].update(n_channels=64, n_layers=4, n_out_channels=16)
     model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
     params = model.init(jax.random.PRNGKey(42), batch_size=1, T_mel=8)
-    T_mel = 64
+    T_mel = 32
+    n_iters = 3
     rng = np.random.RandomState(0)
     results = {}
     base = None
@@ -130,20 +149,23 @@ def bench_scaling(n_list=(1, 2, 4, 8)):
             y = jfn(params, mel)
             _ = np.asarray(y[0, :4])
             t0 = time.time()
-            for _i in range(8):
+            for _i in range(n_iters):
                 y = jfn(params, mel)
             _ = np.asarray(y[0, :4])
-            dt = (time.time() - t0) / 8
+            dt = (time.time() - t0) / n_iters
         thr = n * T_mel * model.spect_hop_size / model.sample_rate / dt
         if base is None:
             base = thr
         results[n] = {"audio_s_per_s": round(thr, 2), "weak_scaling_eff": round(thr / (base * n), 3)}
-    print(json.dumps({"scaling": results}))
+    print(json.dumps({"scaling": results, "model": "flagship SPEECH 320ch",
+                      "platform": jax.devices()[0].platform}))
 
 
 def run_one(B, T_mel):
     """Bench a single (B, T_mel) config; prints one JSON line."""
     import jax
+
+    _enable_persistent_compile_cache()
 
     from mbexwn_vocoder_tpu.config import read_config
     from mbexwn_vocoder_tpu.models import create_model
@@ -181,8 +203,11 @@ def main():
             time.sleep(60)  # let the single-tenant claim/compile queue drain
         return None
 
-    b32 = sub(32, 128)
-    b1 = sub(1, 512, retries=0)
+    # the full-model compile is 90-250 s/shape on a cold persistent cache and
+    # the remote-compile service can wedge; 900 s + one retry bounds the
+    # worst case while still capturing batch 32 cold
+    b32 = sub(32, 128, timeout_s=900)
+    b1 = sub(1, 512, timeout_s=900, retries=0)
 
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
     if b32 is None and b1 is None and os.path.exists(cache_path):
@@ -194,9 +219,12 @@ def main():
         print(json.dumps(out))
         return
 
+    # label the headline with the batch that actually produced it -- never
+    # publish a batch-1 number under a batch-32 metric string
     value = b32["rtf"] if b32 else (b1["rtf"] if b1 else 0.0)
+    batch_label = "batch 32" if b32 else ("batch 1" if b1 else "no measurement")
     out = {
-        "metric": "audio-seconds/s/chip (MW-SP-FD class model, 24 kHz resynthesis, batch 32)",
+        "metric": f"audio-seconds/s/chip (MW-SP-FD class model, 24 kHz resynthesis, {batch_label})",
         "value": value,
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / BASELINE_RT, 2),
@@ -222,9 +250,17 @@ if __name__ == "__main__":
         i = _sys.argv.index("--one")
         run_one(int(_sys.argv[i + 1]), int(_sys.argv[i + 2]))
     elif "--scaling" in _sys.argv:
+        # virtual 8-device CPU mesh on single-chip images (must precede the
+        # first jax import); bench_scaling switches jax_platforms itself
+        if "jax" not in _sys.modules:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+            )
         bench_scaling()
     elif "--longform" in _sys.argv:
         import jax as _jax
+
+        _enable_persistent_compile_cache()
 
         from mbexwn_vocoder_tpu.config import read_config as _rc
         from mbexwn_vocoder_tpu.models import create_model as _cm

@@ -34,9 +34,12 @@ import os as _os
 
 def _use_pallas_oscillator() -> bool:
     """Pallas fused-oscillator kernel (experimental; MBEXWN_PALLAS=1 to
-    enable).  The current Mosaic toolchain rejects the (rows,128)->(flat,1)
-    shape cast the kernel needs, so the XLA tent-matmul path -- which already
-    rides the MXU -- remains the default on all backends."""
+    enable).  The lane-major kernel compiles on TPU hardware and is bit-exact
+    vs the XLA path, but measured 12x SLOWER (27.7 vs 2.26 ms at 32x19200):
+    its (n_grid=13)-row output tile starves the MXU, while the default XLA
+    tent-matmul path rides the MXU at full width (PERFORMANCE.md "Pallas
+    oscillator"; tests/test_pallas_kernels.py guards equivalence).  Kept
+    as a reference point for future fusion work, never as the default."""
     return _os.environ.get("MBEXWN_PALLAS", "0") in ("1", "on", "true")
 
 
@@ -348,10 +351,18 @@ class MBExWN(Module):
         params["wavetables"] = jnp.asarray(self.wavetable.wavetables)
 
         t_pulse = T_mel * self.spect_to_pulse_upsampling_factor
-        n_in = self.pulse_channels * (1 + self.wavetable.add_subharm_chans) + (
+        # fold factor: the reshape fold uses pulse_channels; the PQMF-analysis
+        # fold decimates by its own subband count (the rate algebra requires
+        # the two to agree, custom_pulsed_generator.py:892-900)
+        fold = (
+            self.pulse_channels_multi_band_config["subbands"]
+            if self.pulse_channels_use_pqmf
+            else self.pulse_channels
+        )
+        n_in = fold + self.pulse_channels * self.wavetable.add_subharm_chans + (
             1 if self.pp_mod_subnet_noise_channel_sigma else 0
         )
-        curr_shape = (B, t_pulse // self.pulse_channels, n_in)
+        curr_shape = (B, t_pulse // fold, n_in)
         for bl in self.pp_waveNetBlocks:
             p, curr_shape = bl.init(next(r), (curr_shape, mel_shape))
             params[bl.name] = p

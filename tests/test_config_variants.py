@@ -119,7 +119,7 @@ def test_pulse_channels_pqmf_analysis_path():
     hp = _base_hp()
     mc = hp["mbexwn_config"]
     mc["pulse_channels_use_pqmf"] = True
-    mc["pulse_channels_multi_band_config"] = {"subbands": 10, "taps": 62, "cutoff_ratio": 0.05,
+    mc["pulse_channels_multi_band_config"] = {"subbands": 6, "taps": 94, "cutoff_ratio": 0.0945,
                                               "beta": 9.0}
     _run(hp)
 

@@ -145,7 +145,10 @@ def test_batch_consistency(models_and_params):
     yb = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * 300))
     for i in range(3):
         yi = np.asarray(model.infer(params, jnp.asarray(mel[i : i + 1]), synth_length=T_mel * 300))
-        np.testing.assert_allclose(yb[i : i + 1], yi, rtol=1e-4, atol=1e-5)
+        # fp32 batched convs reassociate; bound the error relative to the
+        # signal scale instead of demanding tight absolute agreement
+        scale = np.abs(yi).max()
+        np.testing.assert_allclose(yb[i : i + 1] / scale, yi / scale, rtol=0, atol=1e-5)
 
 
 def test_jit_infer(models_and_params):
