@@ -29,13 +29,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _mod1_sum(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Stable sum mod 1 over axis 1 of a (B, T) array of phase increments.
+
+    Summing tens of thousands of fp32 increments loses the fractional part
+    once the total exceeds ~2^13 cycles; block-wise partial sums taken mod 1
+    before the final reduction keep every intermediate small -- the same
+    range-bounding idea as the reference's chunked cumsum
+    (tf_wavetable.py:457-492), applied to a single total."""
+    B, T = x.shape
+    pad = (-T) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    partial = jnp.sum(x.reshape(B, -1, block), axis=2) % 1.0
+    return jnp.sum(partial, axis=1) % 1.0
+
+
 class StreamingSynthesizer:
-    def __init__(self, model, params, chunk_frames: int = 256, halo_frames: int = 40, use_jit: bool = True):
+    def __init__(self, model, params, chunk_frames: int = 256, halo_frames: int = 40, use_jit: bool = True,
+                 mesh=None):
         self.model = model
         self.params = params
         self.chunk_frames = chunk_frames
         self.halo_frames = halo_frames
         self.use_jit = use_jit
+        # sequence parallelism: with a mesh, the chunk batch of synth_batched
+        # shards over the 'data' axis (chunks are independent given their
+        # phase offsets, so SP == DP over the chunk dimension)
+        self.mesh = mesh
         self._jitted: Dict[Tuple[int, int, int], object] = {}
         blk = model.block
         self.stp = blk.spect_to_pulse_upsampling_factor
@@ -84,8 +105,18 @@ class StreamingSynthesizer:
         if key not in self._jitted:
             model = self.model
             hop = self.hop
+            mesh = self.mesh
 
             def fn(params, mel_spans, offsets):
+                # shard the chunk batch over 'data' (uniform middle group;
+                # edge groups smaller than the axis stay replicated -- they
+                # would force an inefficient full rematerialization reshard)
+                if mesh is not None and mel_spans.shape[0] % mesh.shape["data"] == 0:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    mel_spans = jax.lax.with_sharding_constraint(
+                        mel_spans, NamedSharding(mesh, P("data"))
+                    )
                 y = model.infer(params, mel_spans, synth_length=mel_spans.shape[1] * hop,
                                 phase_offset=offsets)
                 a0 = left * hop
@@ -93,6 +124,82 @@ class StreamingSynthesizer:
 
             self._jitted[key] = jax.jit(fn) if self.use_jit else fn
         return self._jitted[key]
+
+    def _scan_fn(self, n_chunks: int, B: int):
+        """One jitted program running the WHOLE chunk loop on device: a
+        lax.scan over chunk index with the oscillator phase (mod 1) as the
+        scan carry -- the reference's chunked-cumsum row carry
+        (tf_wavetable.py:477-483) lifted to chunk level.  Removes the
+        per-chunk host dispatch (the relay RTT that dominates the sequential
+        path) entirely; audio for chunk k is available after k body steps,
+        so device-side latency stays bounded by one chunk."""
+        key = ("scan", n_chunks, B)
+        if key not in self._jitted:
+            model = self.model
+            c, h = self.chunk_frames, self.halo_frames
+            stp, hop = self.stp, self.hop
+            span = c + 2 * h
+            pulse_rate = self.pulse_rate
+
+            def fn(params, mell, mel_halo):
+                C = mel_halo.shape[2]
+                # one cheap full-length F0 pass fixes every chunk's start
+                # phase from the SAME contour the one-shot program integrates
+                # (a chunk-local carry would bake the edge chunks'
+                # halo-perturbed F0 into all later chunks as a permanent
+                # phase shift).  Block sums mod 1 -> exclusive cumsum mod 1
+                # is the reference's offsets row (tf_wavetable.py:477-483)
+                # at chunk granularity.
+                f0_full = model.block.generate_f0(params, mell)
+                f0_full = jnp.pad(
+                    f0_full, ((0, 0), (0, n_chunks * c * stp - f0_full.shape[1])), mode="edge"
+                )
+                vel = f0_full / pulse_rate
+                blocks = vel.reshape(B, n_chunks, c, stp)  # per-frame inner sums stay < 1 cycle-ish
+                inc = jnp.sum(jnp.sum(blocks, axis=3) % 1.0, axis=2) % 1.0  # (B, n_chunks)
+                starts = jnp.pad(jnp.cumsum(inc, axis=1) % 1.0, ((0, 0), (1, 0)))[:, :-1]
+                f0_haloed = jnp.pad(f0_full, ((0, 0), (h * stp, h * stp)), mode="edge")
+
+                def body(_, xs):
+                    i, start = xs
+                    mel_span = jax.lax.dynamic_slice(mel_halo, (0, i * c, 0), (B, span, C))
+                    # every chunk synthesizes against the GLOBAL F0 contour
+                    # (sliced), so its phase integral is the one-shot phase
+                    # exactly; a chunk-locally predicted F0 would drift at the
+                    # halo boundary and carry that drift through the chunk
+                    f0_span = jax.lax.dynamic_slice(f0_haloed, (0, i * c * stp), (B, span * stp))
+                    left_inc = _mod1_sum(f0_span[:, : h * stp] / pulse_rate)
+                    offset = jnp.mod(start - left_inc, 1.0)
+                    y = model.infer(
+                        params, mel_span, synth_length=span * hop, F0=f0_span, phase_offset=offset
+                    )
+                    return (), y[:, h * hop : (h + c) * hop]
+
+                _, ys = jax.lax.scan(body, (), (jnp.arange(n_chunks), jnp.transpose(starts)))
+                return jnp.transpose(ys, (1, 0, 2)).reshape(B, n_chunks * c * hop)
+
+            self._jitted[key] = jax.jit(fn) if self.use_jit else fn
+        return self._jitted[key]
+
+    def synth_scan(self, mell: np.ndarray) -> np.ndarray:
+        """(B, T, C) log-mel -> (B, T*hop) waveform via the on-device scan.
+
+        All chunks use one uniform [halo | chunk | halo] span; the mel is
+        edge-replicated into the outer halos and to a whole number of chunks,
+        so the first/last `halo_frames` of output see replicated context
+        where the one-shot program sees the signal boundary (bounded,
+        receptive-field-local difference; interior chunks match the one-shot
+        output -- property-tested in tests/test_parallel.py).  Works for any
+        batch size."""
+        B, T, C = mell.shape
+        c, h = self.chunk_frames, self.halo_frames
+        if T <= c + h:
+            y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
+            return np.asarray(y)
+        n_chunks = -(-T // c)
+        mel_halo = np.pad(mell, ((0, 0), (h, n_chunks * c - T + h), (0, 0)), mode="edge")
+        y = self._scan_fn(n_chunks, B)(self.params, jnp.asarray(mell), jnp.asarray(mel_halo))
+        return np.asarray(y)[:, : T * self.hop]
 
     def synth_batched(self, mell: np.ndarray) -> np.ndarray:
         """Sequence-parallel long-form synthesis: every chunk evaluated in one
@@ -105,10 +212,10 @@ class StreamingSynthesizer:
         of n_chunks sequential dispatches.  On a multi-chip mesh the same
         batch shards over 'data' (true sequence parallelism).
 
-        Currently supports batch-1 input (B=1); returns (1, T*hop).
+        Supports any batch size B; chunk rows of every utterance are stacked
+        into one device batch of B*n_chunks items.
         """
         B, T, C = mell.shape
-        assert B == 1, "synth_batched currently supports a single utterance"
         c, h = self.chunk_frames, self.halo_frames
         if T <= c + h:
             y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
@@ -135,11 +242,14 @@ class StreamingSynthesizer:
         for idx, (t0, t1, lo, hi) in enumerate(bounds):
             span_groups.setdefault(hi - lo, []).append(idx)
         for span, idxs in span_groups.items():
-            mel_spans = np.concatenate([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
-            f0s = np.asarray(self._f0_fn(span)(self.params, jnp.asarray(mel_spans)))
+            # stack as (n_i, B, span, C) -> one (n_i*B, span, C) device batch
+            mel_spans = np.stack([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
+            f0s = np.asarray(
+                self._f0_fn(span)(self.params, jnp.asarray(mel_spans.reshape(-1, span, C)))
+            ).reshape(len(idxs), B, -1)
             for row, i in enumerate(idxs):
                 t0, t1, lo, hi = bounds[i]
-                f0 = f0s[row : row + 1]
+                f0 = f0s[row]  # (B, span*stp)
                 f0_interior[i] = f0[:, (t0 - lo) * self.stp : (t0 - lo + (t1 - t0)) * self.stp]
                 f0_left_inc[i] = (
                     np.sum(f0[:, : (t0 - lo) * self.stp].astype(np.float64), axis=1) / self.pulse_rate
@@ -157,16 +267,17 @@ class StreamingSynthesizer:
         for idx, (t0, t1, lo, hi) in enumerate(bounds):
             groups.setdefault((hi - lo, t0 - lo, t1 - t0), []).append(idx)
         for (span, left, inner), idxs in groups.items():
-            mel_spans = np.concatenate([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
-            offs = np.concatenate([offsets[i] for i in idxs], axis=0)
+            mel_spans = np.stack([mell[:, bounds[i][2] : bounds[i][3]] for i in idxs], axis=0)
+            offs = np.stack([offsets[i] for i in idxs], axis=0)  # (n_i, B)
             ys = np.asarray(
                 self._chunk_batch_fn(span, left, inner)(
-                    self.params, jnp.asarray(mel_spans), jnp.asarray(offs)
+                    self.params, jnp.asarray(mel_spans.reshape(-1, span, C)),
+                    jnp.asarray(offs.reshape(-1)),
                 )
-            )
+            ).reshape(len(idxs), B, inner * self.hop)
             for row, i in enumerate(idxs):
                 t0, t1 = bounds[i][0], bounds[i][1]
-                out[0, t0 * self.hop : t1 * self.hop] = ys[row]
+                out[:, t0 * self.hop : t1 * self.hop] = ys[row]
         return out
 
     def synth(self, mell: np.ndarray) -> np.ndarray:

@@ -119,6 +119,60 @@ def test_synth_batched_matches_one_shot(model_params):
     assert rel2 < 2e-3, rel2
 
 
+def test_synth_scan_matches_one_shot(model_params):
+    """On-device lax.scan chunk loop (phase in the scan carry) == one-shot in
+    the interior; edge chunks see edge-replicated halo context instead of the
+    signal boundary, so only the first/last halo span may differ."""
+    model, params = model_params
+    rng = np.random.RandomState(9)
+    T = 96
+    hop = 300
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    y_one = np.asarray(model.infer(params, jnp.asarray(mell), synth_length=T * hop))
+
+    h = 16
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=h)
+    y_scan = ss.synth_scan(mell)
+    assert y_scan.shape == y_one.shape
+    lo, hi = h * hop, (T - h) * hop
+    rel = np.sqrt(
+        np.mean((y_scan[:, lo:hi] - y_one[:, lo:hi]) ** 2) / (np.mean(y_one[:, lo:hi] ** 2) + 1e-12)
+    )
+    assert rel < 2e-3, rel
+    assert np.all(np.isfinite(y_scan))
+    # a single compiled program runs the whole loop
+    assert sum(1 for k in ss._jitted if k[0] == "scan") == 1
+
+
+def test_synth_batched_multi_utterance(model_params):
+    """synth_batched with B>1 equals the same utterances run individually."""
+    model, params = model_params
+    rng = np.random.RandomState(11)
+    T = 96
+    mell = (rng.randn(3, T, 80) * 0.5 - 4).astype(np.float32)
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+    y_all = ss.synth_batched(mell)
+    assert y_all.shape == (3, T * 300)
+    for b in range(3):
+        y_b = ss.synth_batched(mell[b : b + 1])
+        # different batch compositions reassociate fp32 convs
+        np.testing.assert_allclose(y_all[b : b + 1], y_b, rtol=1e-3, atol=1e-3)
+
+
+def test_synth_scan_multi_utterance(model_params):
+    """synth_scan is batched: B>1 equals per-utterance runs."""
+    model, params = model_params
+    rng = np.random.RandomState(12)
+    T = 80
+    mell = (rng.randn(2, T, 80) * 0.5 - 4).astype(np.float32)
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+    y_all = ss.synth_scan(mell)
+    assert y_all.shape == (2, T * 300)
+    for b in range(2):
+        y_b = ss.synth_scan(mell[b : b + 1])
+        np.testing.assert_allclose(y_all[b : b + 1], y_b, rtol=1e-4, atol=2e-4)
+
+
 def test_tensor_parallel_wavenet(monkeypatch):
     """MBEXWN_TP_AXIS=model: WaveNet channel dim sharded over the 'model'
     mesh axis via GSPMD constraints -- output matches the unsharded model."""
