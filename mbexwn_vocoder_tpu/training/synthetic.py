@@ -1,0 +1,164 @@
+"""Synthetic voice-like corpus generator.
+
+The image ships no speech data and has no network access, so the
+quality-validation loop (train -> resynthesize held-out audio -> mel-L1 dB,
+reference resynth_mel.py:86-96) runs on a synthetic corpus produced here:
+LF-style glottal pulse trains with natural F0 contours, time-varying formant
+resonators, fricative noise segments and syllabic amplitude modulation --
+the exact source-filter structure the MBExWN architecture models, so a
+converged checkpoint is a meaningful end-to-end quality measurement of the
+training + inference pipeline (not of speech naturalness).
+
+Pure NumPy/SciPy, deterministic per seed.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.signal as ss
+
+
+def _smooth_contour(rng, n: int, sr_ctrl: float, lo: float, hi: float, tau_s: float) -> np.ndarray:
+    """Random contour in [lo, hi]: filtered gaussian walk at control rate."""
+    steps = rng.randn(n)
+    b, a = ss.butter(2, min(0.99, 1.0 / (tau_s * sr_ctrl)))
+    walk = ss.lfilter(b, a, steps)
+    walk = (walk - walk.mean()) / (walk.std() + 1e-9)
+    mid, half = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    return mid + half * np.tanh(0.8 * walk)
+
+
+def _segment_plan(rng, duration_s: float) -> list:
+    """Phoneme-like segments: (kind, dur_s), kind in voiced/fricative/pause."""
+    plan = []
+    t = 0.0
+    while t < duration_s:
+        r = rng.rand()
+        if r < 0.62:
+            kind, dur = "voiced", rng.uniform(0.12, 0.45)
+        elif r < 0.85:
+            kind, dur = "fricative", rng.uniform(0.05, 0.18)
+        else:
+            kind, dur = "pause", rng.uniform(0.04, 0.25)
+        plan.append((kind, dur))
+        t += dur
+    return plan
+
+
+def _formant_filter(rng, x: np.ndarray, sr: int, n_blocks: int) -> np.ndarray:
+    """Cascade of 4 slowly-drifting resonators applied block-wise with
+    overlap-add crossfades (piecewise-stationary vocal tract)."""
+    ranges = [(280, 900), (900, 2400), (2300, 3400), (3300, 4600)]
+    bws = [(60, 140), (80, 180), (120, 250), (150, 300)]
+    n = x.size
+    block = int(np.ceil(n / n_blocks))
+    fade = np.minimum(block // 4, 256)
+    out = np.zeros(n + block)
+    targets = [
+        (
+            _smooth_contour(rng, n_blocks, 1.0, lo, hi, 2.5),
+            _smooth_contour(rng, n_blocks, 1.0, blo, bhi, 3.0),
+        )
+        for (lo, hi), (blo, bhi) in zip(ranges, bws)
+    ]
+    win = np.ones(block + fade)
+    win[:fade] = np.linspace(0, 1, fade)
+    win[-fade:] = np.linspace(1, 0, fade)
+    for ib in range(n_blocks):
+        s0 = ib * block
+        seg = x[max(0, s0 - fade // 2) : s0 + block + fade // 2]
+        if seg.size == 0:
+            break
+        y = seg
+        for (fc, bw) in targets:
+            r = np.exp(-np.pi * bw[ib] / sr)
+            th = 2 * np.pi * fc[ib] / sr
+            a = [1.0, -2 * r * np.cos(th), r * r]
+            y = ss.lfilter([1 - r], a, y)
+        w = win[: y.size]
+        out[s0 : s0 + y.size] += y * w
+    return out[:n]
+
+
+def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int = 24000,
+                    f0_base: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """One utterance: returns (audio float32 in [-1,1], f0 contour at sr)."""
+    n = int(duration_s * sr)
+    f0_base = f0_base if f0_base is not None else rng.uniform(90, 240)
+
+    # F0: slow prosodic drift + declination + jitter, bounded to the model's
+    # pp range (40-600 Hz)
+    f0 = _smooth_contour(rng, n, sr, f0_base * 0.8, f0_base * 1.45, 0.35)
+    f0 *= np.linspace(1.05, 0.92, n)  # declination
+    f0 *= 1.0 + 0.003 * rng.randn(n)  # jitter
+    f0 = np.clip(f0, 45.0, 580.0)
+
+    plan = _segment_plan(rng, duration_s)
+    voiced_mask = np.zeros(n)
+    fric_mask = np.zeros(n)
+    t0 = 0
+    for kind, dur in plan:
+        t1 = min(n, t0 + int(dur * sr))
+        if kind == "voiced":
+            voiced_mask[t0:t1] = 1.0
+        elif kind == "fricative":
+            fric_mask[t0:t1] = 1.0
+        t0 = t1
+        if t0 >= n:
+            break
+    # 8 ms on/off ramps avoid clicks
+    ramp = int(0.008 * sr)
+    kern = np.hanning(2 * ramp + 1)
+    kern /= kern.sum()
+    voiced_mask = ss.fftconvolve(voiced_mask, kern, mode="same")
+    fric_mask = ss.fftconvolve(fric_mask, kern, mode="same")
+
+    # glottal-ish source: band-limited pulse train via additive harmonics with
+    # 1/k rolloff and a per-utterance spectral tilt
+    phase = np.cumsum(f0) / sr
+    tilt = rng.uniform(0.8, 1.6)
+    max_harm = int(10000 / f0.min())
+    src = np.zeros(n)
+    k = 1
+    while k <= max_harm:
+        active = (k * f0) < 10000.0
+        src += np.where(active, np.sin(2 * np.pi * k * phase) / (k ** tilt), 0.0)
+        k += 1
+    src *= voiced_mask
+    # aspiration floor under voicing
+    src += 0.02 * voiced_mask * rng.randn(n)
+
+    voiced = _formant_filter(rng, src, sr, n_blocks=max(4, int(duration_s / 0.06)))
+
+    # fricatives: shaped high-band noise
+    noise = rng.randn(n)
+    b, a = ss.butter(4, [2000 / (sr / 2), 9000 / (sr / 2)], btype="band")
+    fric = ss.lfilter(b, a, noise) * fric_mask * 0.5
+
+    audio = voiced + fric
+    # syllabic loudness modulation
+    audio *= 0.55 + 0.45 * _smooth_contour(rng, n, sr, 0.0, 1.0, 0.22)
+    peak = np.abs(audio).max() + 1e-9
+    audio = (audio / peak * rng.uniform(0.45, 0.8)).astype(np.float32)
+    return audio, np.where(voiced_mask > 0.5, f0, 0.0).astype(np.float32)
+
+
+def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
+                duration_range=(2.0, 4.0), sr: int = 24000, quiet: bool = False) -> list:
+    """Write n synthetic utterances as 16-bit wavs; returns the file list."""
+    from ..compat.audio_io import write_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    paths = []
+    for i in range(n_utterances):
+        dur = rng.uniform(*duration_range)
+        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr)
+        path = os.path.join(out_dir, f"synthetic_{seed:03d}_{i:04d}.wav")
+        write_wav(path, audio, sr)
+        paths.append(path)
+        if not quiet:
+            print(f"wrote {path} ({dur:.2f}s)")
+    return paths

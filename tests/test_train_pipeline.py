@@ -63,6 +63,37 @@ def test_segment_dataset(tmp_path):
     assert np.all(np.isfinite(batch["mel"]))
 
 
+def test_synthetic_corpus_generator(tmp_path):
+    """training/synthetic.py: voice-like wavs that the data pipeline accepts."""
+    from mbexwn_vocoder_tpu.config import read_config
+    import mbexwn_vocoder_tpu as mv
+    from mbexwn_vocoder_tpu.training.data import SegmentDataset
+    from mbexwn_vocoder_tpu.training.synthetic import make_corpus, synth_utterance
+
+    out = str(tmp_path / "corpus")
+    paths = make_corpus(out, n_utterances=2, seed=5, duration_range=(1.0, 1.4), quiet=True)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    rng = np.random.RandomState(0)
+    audio, f0 = synth_utterance(rng, duration_s=1.2)
+    assert np.all(np.isfinite(audio)) and np.abs(audio).max() <= 1.0
+    # voiced content concentrates below 5 kHz (formant structure)
+    spec = np.abs(np.fft.rfft(audio))
+    freqs = np.fft.rfftfreq(audio.size, 1 / 24000)
+    low = spec[(freqs > 80) & (freqs < 5000)].sum()
+    high = spec[freqs >= 5000].sum()
+    assert low > 2 * high
+    # voiced frames carry F0 in the model's pp range
+    voiced = f0[f0 > 0]
+    assert voiced.size > 0.2 * f0.size
+    assert voiced.min() > 40 and voiced.max() < 600
+
+    pc = read_config(mv.get_config_file("SPEECH"))["preprocess_config"]
+    ds = SegmentDataset(out, dict(pc, segment_length=6000), seed=1)
+    batch = ds.batch(2)
+    assert batch["audio"].shape == (2, 6000) and np.all(np.isfinite(batch["mel"]))
+
+
 def test_train_cli_end_to_end(tmp_path):
     """Run the real train CLI for a few steps on a tiny model; check metrics
     stream, checkpoint creation, resume, and inference-weight export."""
