@@ -97,6 +97,8 @@ class MBExWN(Module):
         name: str = "MBExWNGen",
         quiet: bool = True,
         remat_wavenet_blocks: bool = False,
+        wn_compute_dtype=None,
+        subnet_compute_dtype=None,
     ):
         self.name = name
         self.preprocess_config = copy.deepcopy(preprocess_config)
@@ -140,13 +142,25 @@ class MBExWN(Module):
         self.pp_subnet_exclude_from_pretrain = pp_subnet_exclude_from_pretrain
 
         # reduced-precision mode for the conditioning subnets (F0 predictor /
-        # spectral-envelope stacks).  Activations and kernels run in
-        # MBEXWN_SUBNET_DTYPE (bfloat16); the outputs are cast back to the
+        # spectral-envelope stacks).  Activations and kernels run in the
+        # subnet compute dtype (bfloat16); the outputs are cast back to the
         # input dtype so the oscillator phase integral, the cepstral rDFT/exp,
         # and the STFT filtering stay fp32.  bf16 quantizes the predicted F0
-        # by ~2^-9 relative (~3 cents) -- acceptable for the speed mode, and
-        # the default stays full precision.
-        self.subnet_compute_dtype = _os.environ.get("MBEXWN_SUBNET_DTYPE") or None
+        # by ~2^-9 relative (~3 cents).
+        #
+        # Precedence: env var > config key > fp32.  The registry configs ship
+        # bfloat16 compute (the fp32 WaveNet already runs at the fp32 MXU
+        # peak, so reduced-precision compute is the only 2-4x lever; params,
+        # MXU accumulation and the envelope numerics stay fp32 -- measured
+        # quality cost in PERFORMANCE.md).  Oracle parity tests pin fp32.
+        def _dtype_pref(env_name, config_value):
+            env = _os.environ.get(env_name)
+            if env is not None:
+                return env or None  # MBEXWN_*_DTYPE= (empty) forces fp32
+            return config_value or None
+
+        self.subnet_compute_dtype = _dtype_pref("MBEXWN_SUBNET_DTYPE", subnet_compute_dtype)
+        self.wn_compute_dtype = _dtype_pref("MBEXWN_WN_DTYPE", wn_compute_dtype)
 
         # F0 predictor subnet (frame rate -> pulse rate)
         self.pp_subnet_spec = copy.deepcopy(pp_subnet)
@@ -297,10 +311,10 @@ class MBExWN(Module):
                     cond_kernel_size=self.pp_mod_subnet_cond_kernel_size,
                     cond_conv_upsampling=int(curr_pulse_rate // (spect_rate * lin)),
                     cond_lin_upsampling=lin,
-                    # reduced-precision WaveNet activations (MBEXWN_WN_DTYPE=
-                    # bfloat16); params/accumulation stay fp32, the envelope
-                    # path stays fp32 regardless (SURVEY §7.8)
-                    compute_dtype=_os.environ.get("MBEXWN_WN_DTYPE") or None,
+                    # reduced-precision WaveNet activations; params and MXU
+                    # accumulation stay fp32, the envelope path stays fp32
+                    # regardless (SURVEY §7.8)
+                    compute_dtype=self.wn_compute_dtype,
                     # MBEXWN_TP_AXIS=model: shard the WaveNet channel dim over
                     # that mesh axis (needs an ambient jax.set_mesh mesh)
                     tp_axis=_os.environ.get("MBEXWN_TP_AXIS") or None,

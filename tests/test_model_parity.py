@@ -45,6 +45,8 @@ def models_and_params():
     hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
     # keys this framework adds beyond the reference schema
     hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
+    hp_ref["mbexwn_config"].pop("wn_compute_dtype", None)
+    hp_ref["mbexwn_config"].pop("subnet_compute_dtype", None)
 
     ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
                                     quiet=True, use_tf25_compatible_implementation=True)
@@ -196,6 +198,8 @@ def test_noise_channel_statistical_parity():
     hp_ref = copy.deepcopy(hp)
     hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
     hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
+    hp_ref["mbexwn_config"].pop("wn_compute_dtype", None)
+    hp_ref["mbexwn_config"].pop("subnet_compute_dtype", None)
 
     ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
                                     quiet=True, use_tf25_compatible_implementation=True)
