@@ -20,6 +20,12 @@ from .core import Module
 from .layers import Conv1DUpDownSample, Conv1DWeightNorm, LinInterpLayer
 
 
+def _use_pallas_wavenet() -> bool:
+    import os
+
+    return os.environ.get("MBEXWN_PALLAS_WN", "0") in ("1", "on", "true")
+
+
 def _gate(activation: str, half_act: jnp.ndarray, half_sigmoid: jnp.ndarray) -> jnp.ndarray:
     """Gated units gtu/glu/gfu/gsu (custom_AE_layers.py:312-321)."""
     if activation == "gtu":
@@ -216,6 +222,25 @@ class WaveNetAE(Module):
             else:
                 cond_layers = jnp.split(c, self.n_layers * self.n_ch_groups, axis=-1)
 
+        # fused Pallas stack (MBEXWN_PALLAS_WN=1): the whole dilated gated
+        # stack as 3 kernels with resident weights and on-chip activations.
+        # Measured on v5e: runtime parity with the XLA conv path (both are
+        # MXU-throughput-bound at ~95 TFLOP/s for this shape -- see
+        # PERFORMANCE.md roofline note) but the kernel compiles in ~13 s vs
+        # 90-650 s for the conv stack through the remote-compile relay, which
+        # matters for cold starts.  Requires the shared-upsampled cond path,
+        # no channel groups, k=3, SAME padding.
+        if (
+            _use_pallas_wavenet()
+            and self.n_ch_groups == 1
+            and cond_layers is not None
+            and self.cond_conv_upsampling is not None
+            and self.kernel_size == 3
+            and self.padding == "SAME"
+        ):
+            skip_sum = self._fused_stack(params, started_full, cond_layers[0])
+            return self.end(params["end"], skip_sum).astype(in_dtype)
+
         started = list(jnp.split(started_full, self.n_ch_groups, axis=-1))
         output = [None] * self.n_ch_groups
         for index in range(self.n_layers):
@@ -239,6 +264,29 @@ class WaveNetAE(Module):
 
         out = jnp.concatenate(output, axis=-1) if self.n_ch_groups > 1 else output[0]
         return self.end(params["end"], out).astype(in_dtype)
+
+    def _fused_stack(self, params, started, cond_slab):
+        """Assemble folded per-layer weights and run the fused Pallas stack."""
+        from ..ops.conv import fold_weight_norm
+        from ..ops.pallas_wavenet import fused_wavenet_stack
+
+        dils = []
+        weights = []
+        for conv, rs in zip(self.conv_layers, self.res_skip_layers):
+            pc = fold_weight_norm(params[conv.name])
+            pr = fold_weight_norm(params[rs.name])
+            wd = pc["kernel"].astype(started.dtype)
+            bd = pc.get("b")
+            bd = jnp.zeros((wd.shape[-1],), started.dtype) if bd is None else bd.astype(started.dtype)
+            wr = pr["kernel"][0].astype(started.dtype)
+            br = pr.get("b")
+            br = jnp.zeros((wr.shape[-1],), started.dtype) if br is None else br.astype(started.dtype)
+            dils.append(conv.dilation_rate)
+            weights.append((wd, bd, wr, br))
+        # interpret mode keeps the path testable on the CPU backend
+        interpret = jax.default_backend() == "cpu"
+        return fused_wavenet_stack(started, cond_slab, weights, dils, group_size=4,
+                                   interpret=interpret)
 
 
 class WaveNetAEBlock(Module):

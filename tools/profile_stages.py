@@ -107,8 +107,9 @@ def main():
         return np.asarray(leaf.ravel()[:4])
 
     out = {"batch": B, "T_mel": T, "platform": jax.devices()[0].platform,
-           "wn_dtype": os.environ.get("MBEXWN_WN_DTYPE") or "float32",
-           "subnet_dtype": os.environ.get("MBEXWN_SUBNET_DTYPE") or "float32"}
+           # effective dtypes from the built model (env > config > fp32)
+           "wn_dtype": str(blk.wn_compute_dtype or "float32"),
+           "subnet_dtype": str(blk.subnet_compute_dtype or "float32")}
     audio_s = B * T * hop / blk.sample_rate
     for name, (fn, argf) in stages.items():
         t0 = time.time()
