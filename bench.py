@@ -113,7 +113,12 @@ def bench_scaling(n_list=(1, 2, 4, 8)):
     import jax
     import numpy as np
 
-    if jax.device_count() < max(n_list):
+    # decide the platform BEFORE any backend init: querying devices would
+    # claim the (single-tenant) TPU even when we immediately fall back to the
+    # virtual CPU mesh
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.device_count() < max(n_list):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -26,6 +26,14 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
     from ..training.data import PrefetchLoader, SegmentDataset
     from ..training.trainer import Trainer
 
+    try:  # persistent compile cache: restarts skip the multi-minute fwd+bwd compile
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     hparams = cutils.read_config(get_config_file(model_id_or_path=model_id))
     if cargs:
         cutils.modify_config(hparams, cargs)

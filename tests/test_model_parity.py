@@ -150,7 +150,7 @@ def test_batch_consistency(models_and_params):
         # fp32 batched convs reassociate; bound the error relative to the
         # signal scale instead of demanding tight absolute agreement
         scale = np.abs(yi).max()
-        np.testing.assert_allclose(yb[i : i + 1] / scale, yi / scale, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(yb[i : i + 1] / scale, yi / scale, rtol=0, atol=3e-5)
 
 
 def test_jit_infer(models_and_params):
