@@ -98,9 +98,14 @@ def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48):
     t0 = time.time()
     y = ss.synth_batched(mell)
     dt_bat = time.time() - t0
+    y = ss.synth_scan(mell)  # warm the on-device scan program
+    t0 = time.time()
+    y = ss.synth_scan(mell)
+    dt_scan = time.time() - t0
     audio_s = T * hop / model.sample_rate
     return {"sequential_rtf": audio_s / dt_seq, "batched_rtf": audio_s / dt_bat,
-            "wall_s_sequential": dt_seq, "wall_s_batched": dt_bat}
+            "scan_rtf": audio_s / dt_scan,
+            "wall_s_sequential": dt_seq, "wall_s_batched": dt_bat, "wall_s_scan": dt_scan}
 
 
 def bench_scaling(n_list=(1, 2, 4, 8)):
@@ -275,7 +280,8 @@ if __name__ == "__main__":
         _model, _ = _cm(_hp, _hp["training_config"], _hp["preprocess_config"], quiet=True)
         _params = _model.init(_jax.random.PRNGKey(42), batch_size=1, T_mel=8)
         res = bench_longform(_model, _params)
-        print(json.dumps({"metric": "long-form 60s streaming", "value": round(res["batched_rtf"], 1),
+        best = max(res["batched_rtf"], res["scan_rtf"])
+        print(json.dumps({"metric": "long-form 60s streaming", "value": round(best, 1),
                           "unit": "audio_s/s/chip",
                           **{k: round(v, 2) for k, v in res.items()}}))
     else:

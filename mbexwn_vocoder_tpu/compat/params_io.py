@@ -31,14 +31,37 @@ def _unflatten(flat):
     return tree
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, dtype=None, compressed: bool = False) -> None:
+    """Write a parameter tree as a flat .npz.
+
+    `dtype` (e.g. np.float16) downcasts floating arrays for distribution —
+    half the file size; `load_params` upcasts them back to float32 (compute
+    always runs from fp32 master params; the shipped bf16 compute modes cast
+    separately at call time).  Integer/bool leaves are kept as-is.
+    """
     flat = _flatten(params)
-    np.savez(path, **flat)
+    if dtype is not None:
+        limit = float(np.finfo(dtype).max)
+
+        def _cast(v):
+            if not np.issubdtype(v.dtype, np.floating):
+                return v
+            if v.size and float(np.max(np.abs(v))) >= limit:
+                return v  # out of target-dtype range: keep master precision
+            return v.astype(dtype)
+
+        flat = {k: _cast(v) for k, v in flat.items()}
+    (np.savez_compressed if compressed else np.savez)(path, **flat)
 
 
 def load_params(path: str):
     with np.load(path, allow_pickle=False) as data:
-        flat = {k: data[k] for k in data.files}
+        flat = {}
+        for k in data.files:
+            v = data[k]
+            if v.dtype == np.float16:  # distribution-compressed; restore master dtype
+                v = v.astype(np.float32)
+            flat[k] = v
     tree = _unflatten(flat)
     return _restore_scalars(tree)
 

@@ -44,6 +44,31 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
+def test_params_npz_fp16_distribution_roundtrip(tmp_path):
+    """Distribution format (tools/publish_model.py): fp16 + compressed on
+    disk, fp32 master params restored at load, rel error < 2^-10."""
+    hp = _small_hp()
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    path = str(tmp_path / "weights.npz")
+    save_params(path, params, dtype=np.float16, compressed=True)
+    restored = load_params(path)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda x: str(x[0])),
+                                  sorted(flat_b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        va, vb = np.asarray(va), np.asarray(vb)
+        if np.issubdtype(va.dtype, np.floating):
+            assert vb.dtype == np.float32
+            scale = max(1e-6, float(np.max(np.abs(va))))
+            assert float(np.max(np.abs(va - vb))) / scale < 2 ** -10
+        else:
+            np.testing.assert_array_equal(va, vb)
+
+
 def test_weights_tf_conversion_roundtrip(tmp_path):
     """Save a reference model's weights.tf, convert via convert_model_dir,
     load through MELInverter, and check output parity vs the TF model."""
