@@ -82,20 +82,79 @@ def _formant_filter(rng, x: np.ndarray, sr: int, n_blocks: int) -> np.ndarray:
     return out[:n]
 
 
+def _singing_f0(rng, n: int, sr: int, f0_base: float) -> np.ndarray:
+    """Sung melody contour: quantized note pitches with portamento + vibrato.
+
+    Notes step over a pentatonic-ish interval set around f0_base, transitions
+    glide over ~70 ms, and each note carries 5-6.5 Hz vibrato that ramps in
+    after the onset — the F0 statistics the reference's singing models (MW-SI)
+    are trained for, vs speech prosody."""
+    semis = np.array([-5, -3, 0, 2, 4, 7, 9])
+    t0, cur = 0, 0.0
+    contour = np.zeros(n)
+    while t0 < n:
+        dur = int(rng.uniform(0.35, 1.1) * sr)
+        cur = float(semis[rng.randint(len(semis))]) + rng.choice([0.0, 12.0], p=[0.85, 0.15])
+        contour[t0 : t0 + dur] = cur
+        t0 += dur
+    glide = int(0.07 * sr)
+    kern = np.hanning(2 * glide + 1)
+    contour = ss.fftconvolve(contour, kern / kern.sum(), mode="same")
+    f0 = f0_base * 2.0 ** (contour / 12.0)
+
+    vib_rate = rng.uniform(5.0, 6.5)
+    vib_cents = rng.uniform(25.0, 70.0)
+    # vibrato depth follows note stability: deep where the contour is flat
+    dc = np.abs(np.gradient(contour)) * sr
+    depth = np.clip(1.0 - dc / 4.0, 0.0, 1.0)
+    vib_phase = 2 * np.pi * vib_rate * np.arange(n) / sr + rng.uniform(0, 2 * np.pi)
+    f0 = f0 * 2.0 ** (depth * (vib_cents / 1200.0) * np.sin(vib_phase))
+    f0 *= 1.0 + 0.0015 * rng.randn(n)  # reduced jitter vs speech
+    return np.clip(f0, 45.0, 580.0)
+
+
+def _singing_plan(rng, duration_s: float) -> list:
+    """Sung phrasing: long voiced notes, sparse consonant noise, breath pauses."""
+    plan = []
+    t = 0.0
+    while t < duration_s:
+        r = rng.rand()
+        if r < 0.80:
+            kind, dur = "voiced", rng.uniform(0.35, 1.1)
+        elif r < 0.90:
+            kind, dur = "fricative", rng.uniform(0.04, 0.10)
+        else:
+            kind, dur = "pause", rng.uniform(0.10, 0.35)
+        plan.append((kind, dur))
+        t += dur
+    return plan
+
+
 def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int = 24000,
-                    f0_base: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
-    """One utterance: returns (audio float32 in [-1,1], f0 contour at sr)."""
+                    f0_base: Optional[float] = None,
+                    style: str = "speech") -> Tuple[np.ndarray, np.ndarray]:
+    """One utterance: returns (audio float32 in [-1,1], f0 contour at sr).
+
+    style="speech": prosodic F0 drift + declination, syllabic segments.
+    style="singing": note-quantized melody with vibrato, sustained voicing
+    (for SING/VOICE-family training corpora)."""
     n = int(duration_s * sr)
-    f0_base = f0_base if f0_base is not None else rng.uniform(90, 240)
 
-    # F0: slow prosodic drift + declination + jitter, bounded to the model's
-    # pp range (40-600 Hz)
-    f0 = _smooth_contour(rng, n, sr, f0_base * 0.8, f0_base * 1.45, 0.35)
-    f0 *= np.linspace(1.05, 0.92, n)  # declination
-    f0 *= 1.0 + 0.003 * rng.randn(n)  # jitter
-    f0 = np.clip(f0, 45.0, 580.0)
-
-    plan = _segment_plan(rng, duration_s)
+    if style == "singing":
+        f0_base = f0_base if f0_base is not None else rng.uniform(150, 380)
+        f0 = _singing_f0(rng, n, sr, f0_base)
+        plan = _singing_plan(rng, duration_s)
+    elif style == "speech":
+        f0_base = f0_base if f0_base is not None else rng.uniform(90, 240)
+        # F0: slow prosodic drift + declination + jitter, bounded to the
+        # model's pp range (40-600 Hz)
+        f0 = _smooth_contour(rng, n, sr, f0_base * 0.8, f0_base * 1.45, 0.35)
+        f0 *= np.linspace(1.05, 0.92, n)  # declination
+        f0 *= 1.0 + 0.003 * rng.randn(n)  # jitter
+        f0 = np.clip(f0, 45.0, 580.0)
+        plan = _segment_plan(rng, duration_s)
+    else:
+        raise ValueError(f"unknown style {style!r} (speech|singing)")
     voiced_mask = np.zeros(n)
     fric_mask = np.zeros(n)
     t0 = 0
@@ -138,16 +197,22 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
     fric = ss.lfilter(b, a, noise) * fric_mask * 0.5
 
     audio = voiced + fric
-    # syllabic loudness modulation
-    audio *= 0.55 + 0.45 * _smooth_contour(rng, n, sr, 0.0, 1.0, 0.22)
+    # loudness modulation: syllabic for speech, phrase-level swells for singing
+    amp_tau = 0.6 if style == "singing" else 0.22
+    amp_floor = 0.7 if style == "singing" else 0.55
+    audio *= amp_floor + (1.0 - amp_floor) * _smooth_contour(rng, n, sr, 0.0, 1.0, amp_tau)
     peak = np.abs(audio).max() + 1e-9
     audio = (audio / peak * rng.uniform(0.45, 0.8)).astype(np.float32)
     return audio, np.where(voiced_mask > 0.5, f0, 0.0).astype(np.float32)
 
 
 def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
-                duration_range=(2.0, 4.0), sr: int = 24000, quiet: bool = False) -> list:
-    """Write n synthetic utterances as 16-bit wavs; returns the file list."""
+                duration_range=(2.0, 4.0), sr: int = 24000, quiet: bool = False,
+                style: str = "speech") -> list:
+    """Write n synthetic utterances as float32 wavs; returns the file list.
+
+    style: "speech" | "singing" | "mixed" (alternating — the VOICE-family
+    universal corpus)."""
     from ..compat.audio_io import write_wav
 
     os.makedirs(out_dir, exist_ok=True)
@@ -155,10 +220,11 @@ def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
     paths = []
     for i in range(n_utterances):
         dur = rng.uniform(*duration_range)
-        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr)
+        ustyle = style if style != "mixed" else ("singing" if i % 2 else "speech")
+        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr, style=ustyle)
         path = os.path.join(out_dir, f"synthetic_{seed:03d}_{i:04d}.wav")
         write_wav(path, audio, sr)
         paths.append(path)
         if not quiet:
-            print(f"wrote {path} ({dur:.2f}s)")
+            print(f"wrote {path} ({dur:.2f}s, {ustyle})")
     return paths

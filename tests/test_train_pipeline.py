@@ -94,6 +94,54 @@ def test_synthetic_corpus_generator(tmp_path):
     assert batch["audio"].shape == (2, 6000) and np.all(np.isfinite(batch["mel"]))
 
 
+def test_synthetic_singing_style(tmp_path):
+    """style="singing": sustained voicing with vibrato-modulated note pitches
+    (the SING/VOICE-family corpus); "mixed" alternates both styles."""
+    from mbexwn_vocoder_tpu.training.synthetic import make_corpus, synth_utterance
+
+    rng = np.random.RandomState(7)
+    audio, f0 = synth_utterance(rng, duration_s=2.0, style="singing")
+    assert np.all(np.isfinite(audio)) and np.abs(audio).max() <= 1.0
+    voiced = f0[f0 > 0]
+    # sustained phonation: much higher voicing duty cycle than speech style
+    assert voiced.size > 0.5 * f0.size
+    assert voiced.min() > 40 and voiced.max() < 600
+    # vibrato: the F0 contour inside one long voiced span oscillates at 5-6.5
+    # Hz — its spectrum must peak in the vibrato band, not at DC drift rates
+    run, best = None, 0
+    cur = 0
+    for v in (f0 > 0).astype(int):
+        cur = cur + 1 if v else 0
+        if cur > best:
+            best, run = cur, None
+    assert best > 24000 * 0.3  # at least one 300 ms sustained note
+    # pick the longest voiced run
+    mask = f0 > 0
+    spans, s = [], None
+    for i, v in enumerate(mask):
+        if v and s is None:
+            s = i
+        elif not v and s is not None:
+            spans.append((s, i)); s = None
+    if s is not None:
+        spans.append((s, mask.size))
+    s0, s1 = max(spans, key=lambda p: p[1] - p[0])
+    seg = f0[s0:s1]
+    seg = seg / seg.mean() - 1.0
+    spec = np.abs(np.fft.rfft(seg * np.hanning(seg.size)))
+    freqs = np.fft.rfftfreq(seg.size, 1 / 24000)
+    vib = spec[(freqs > 4.0) & (freqs < 8.0)].max()
+    hi = spec[(freqs > 10.0) & (freqs < 20.0)].max()
+    assert vib > 2 * hi  # clear vibrato peak
+
+    paths = make_corpus(str(tmp_path / "mix"), n_utterances=2, seed=3,
+                        duration_range=(1.0, 1.2), quiet=True, style="mixed")
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    with pytest.raises(ValueError):
+        synth_utterance(np.random.RandomState(0), duration_s=1.0, style="whisper")
+
+
 def test_train_cli_end_to_end(tmp_path):
     """Run the real train CLI for a few steps on a tiny model; check metrics
     stream, checkpoint creation, resume, and inference-weight export."""
