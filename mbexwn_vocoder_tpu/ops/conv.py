@@ -42,6 +42,48 @@ def causal_pads(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
     return k_eff - 1, 0
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_reduced_precision(x, kernel, stride, dilation, pads):
+    """bf16-operand conv surfacing the MXU's fp32 accumulation as fp32 output.
+
+    The stock transpose rule of a conv whose `preferred_element_type` differs
+    from its operand dtype builds a transpose conv mixing the fp32 cotangent
+    with the bf16 kernel, which `lax.conv_general_dilated` rejects — so the
+    reduced-precision compute modes would be forward-only.  This custom VJP
+    keeps the fp32-accumulated forward and runs the two backward convs in the
+    operand dtype (the TPU MXU accumulates bf16 products in fp32 internally
+    regardless; only the cotangent round-trips through bf16, the standard
+    mixed-precision contract)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=list(pads),
+        rhs_dilation=(dilation,), dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_reduced_precision_fwd(x, kernel, stride, dilation, pads):
+    return _conv_reduced_precision(x, kernel, stride, dilation, pads), (x, kernel)
+
+
+def _conv_reduced_precision_bwd(stride, dilation, pads, res, ct):
+    x, kernel = res
+
+    def same_dtype_conv(xx, kk):
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=(stride,), padding=list(pads),
+            rhs_dilation=(dilation,), dimension_numbers=_DN,
+        )
+
+    _, vjp = jax.vjp(same_dtype_conv, x, kernel)
+    return vjp(ct.astype(x.dtype))
+
+
+_conv_reduced_precision.defvjp(_conv_reduced_precision_fwd, _conv_reduced_precision_bwd)
+
+
 def conv1d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -59,15 +101,19 @@ def conv1d(
         pads = [(0, 0)]
     else:
         raise ValueError(f"unsupported padding {padding}")
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding=pads,
-        rhs_dilation=(dilation,),
-        dimension_numbers=_DN,
-        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
-    )
+    if x.dtype == jnp.float32:
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=pads,
+            rhs_dilation=(dilation,),
+            dimension_numbers=_DN,
+            preferred_element_type=x.dtype,
+        )
+    else:
+        y = _conv_reduced_precision(x, kernel, stride, dilation,
+                                    tuple(tuple(p) for p in pads))
     if bias is not None:
         y = y + bias
     return y

@@ -111,6 +111,47 @@ def test_grads_finite(trainer_setup):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_bf16_train_step_grads(monkeypatch):
+    """Training works in the shipped bf16 compute modes: the custom VJP in
+    ops/conv.py keeps the fp32-accumulated forward differentiable (the stock
+    transpose rule rejects the fp32-cotangent x bf16-kernel transpose conv).
+    Grads must exist, be finite, and track the fp32 grads."""
+    monkeypatch.setenv("MBEXWN_WN_DTYPE", "bfloat16")
+    monkeypatch.setenv("MBEXWN_SUBNET_DTYPE", "bfloat16")
+    hp = _small_hparams()
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    trainer = Trainer(model, hp)
+    state = trainer.init_state(jax.random.PRNGKey(0), T_mel=8, batch_size=2)
+    rng = np.random.RandomState(1)
+    T_mel, hop = 8, hp["preprocess_config"]["hop_size"]
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, T_mel * hop).astype(np.float32) * 0.1),
+        "mel": jnp.asarray((rng.randn(2, T_mel, 80) * 0.5 - 4).astype(np.float32)),
+        "F0": jnp.asarray((120 + 10 * rng.randn(2, T_mel * hop)).astype(np.float32)),
+    }
+    (loss, _), grads = jax.value_and_grad(trainer.loss_fn, has_aux=True)(
+        state.params, batch, jnp.int32(0), jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+    # fp32 reference grads on the same model/batch: bf16 grads must correlate
+    monkeypatch.setenv("MBEXWN_WN_DTYPE", "")
+    monkeypatch.setenv("MBEXWN_SUBNET_DTYPE", "")
+    model32, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    trainer32 = Trainer(model32, hp)
+    (_, _), grads32 = jax.value_and_grad(trainer32.loss_fn, has_aux=True)(
+        state.params, batch, jnp.int32(0), jax.random.PRNGKey(3)
+    )
+    g16 = np.concatenate([np.asarray(l).ravel() for l in leaves])
+    g32 = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(grads32)])
+    denom = np.linalg.norm(g16) * np.linalg.norm(g32) + 1e-12
+    cos = float(np.dot(g16, g32) / denom)
+    assert cos > 0.98, f"bf16/fp32 gradient cosine {cos}"
+
+
 def test_dp_matches_single_device(trainer_setup):
     """DP over an 8-device CPU mesh gives the same loss/params as one device."""
     from jax.sharding import Mesh
