@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Regenerate the synthetic training/eval corpora the shipped checkpoints
+were trained on (deterministic per seed; see training/synthetic.py).
+
+The published registry checkpoints' provenance:
+  SPEECH: train .data/synth_train  (seed 10, 40 utt, speech style)
+          eval  .data/synth_eval   (seed 999, 8 utt)
+  SING:   train .data/sing_train   (seed 11, 40 utt, singing style)
+          eval  .data/sing_eval    (seed 998, 8 utt)
+  VOICE:  train .data/voice_train  (seed 12, 40 utt, mixed style)
+          eval  .data/voice_eval   (seed 997, 8 utt)
+
+Usage: python tools/make_corpora.py [--root .data]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mbexwn_vocoder_tpu.training.synthetic import make_corpus
+
+SPECS = [
+    ("synth_train", 10, 40, "speech"),
+    ("synth_eval", 999, 8, "speech"),
+    ("sing_train", 11, 40, "singing"),
+    ("sing_eval", 998, 8, "singing"),
+    ("voice_train", 12, 40, "mixed"),
+    ("voice_eval", 997, 8, "mixed"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=".data")
+    args = ap.parse_args()
+    for name, seed, n, style in SPECS:
+        out = os.path.join(args.root, name)
+        paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
+        print(f"{out}: {len(paths)} utterances ({style}, seed {seed})")
+
+
+if __name__ == "__main__":
+    main()
