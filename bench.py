@@ -102,10 +102,19 @@ def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48):
     t0 = time.time()
     y = ss.synth_scan(mell)
     dt_scan = time.time() - t0
+    # streaming capacity: B concurrent bounded-latency streams in one scan
+    B_cap = 8
+    mell_b = (rng.randn(B_cap, T, 80) * 0.5 - 4.0).astype(np.float32)
+    y = ss.synth_scan(mell_b)  # warm
+    t0 = time.time()
+    y = ss.synth_scan(mell_b)
+    dt_cap = time.time() - t0
     audio_s = T * hop / model.sample_rate
     return {"sequential_rtf": audio_s / dt_seq, "batched_rtf": audio_s / dt_bat,
             "scan_rtf": audio_s / dt_scan,
-            "wall_s_sequential": dt_seq, "wall_s_batched": dt_bat, "wall_s_scan": dt_scan}
+            "capacity_rtf": B_cap * audio_s / dt_cap, "capacity_streams": B_cap,
+            "wall_s_sequential": dt_seq, "wall_s_batched": dt_bat, "wall_s_scan": dt_scan,
+            "wall_s_capacity": dt_cap}
 
 
 def bench_scaling(n_list=(1, 2, 4, 8)):
@@ -279,10 +288,29 @@ if __name__ == "__main__":
         _hp = _rc(_mv.get_config_file("VOICE"))
         _model, _ = _cm(_hp, _hp["training_config"], _hp["preprocess_config"], quiet=True)
         _params = _model.init(_jax.random.PRNGKey(42), batch_size=1, T_mel=8)
-        res = bench_longform(_model, _params)
-        best = max(res["batched_rtf"], res["scan_rtf"])
-        print(json.dumps({"metric": "long-form 60s streaming", "value": round(best, 1),
-                          "unit": "audio_s/s/chip",
-                          **{k: round(v, 2) for k, v in res.items()}}))
+        if "--chunk_sweep" in _sys.argv:
+            # bounded-latency tradeoff: chunk size vs single-stream RT factor
+            from mbexwn_vocoder_tpu.parallel import StreamingSynthesizer as _SS
+            import numpy as _np
+
+            hop = _model.spect_hop_size
+            T = int(60 * _model.sample_rate / hop)
+            mell = (_np.random.RandomState(0).randn(1, T, 80) * 0.5 - 4).astype(_np.float32)
+            rows = {}
+            for cf in (128, 256, 512, 1024):
+                ss = _SS(_model, _params, chunk_frames=cf, halo_frames=48)
+                y = ss.synth_scan(mell)  # warm/compile
+                t0 = time.time()
+                y = ss.synth_scan(mell)
+                dt = time.time() - t0
+                rows[cf] = {"rtf": round(T * hop / _model.sample_rate / dt, 1),
+                            "latency_s": round(cf * hop / _model.sample_rate, 2)}
+            print(json.dumps({"metric": "streaming chunk sweep (60s, scan)", "rows": rows}))
+        else:
+            res = bench_longform(_model, _params)
+            best = max(res["batched_rtf"], res["scan_rtf"])
+            print(json.dumps({"metric": "long-form 60s streaming", "value": round(best, 1),
+                              "unit": "audio_s/s/chip",
+                              **{k: round(v, 2) for k, v in res.items()}}))
     else:
         main()

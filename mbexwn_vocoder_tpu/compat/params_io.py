@@ -31,13 +31,21 @@ def _unflatten(flat):
     return tree
 
 
+# sidecar key recording that the file was downcast for distribution; kept out
+# of the parameter tree namespace (parameter names never start with "__")
+_DIST_DTYPE_KEY = "__distribution_dtype__"
+
+
 def save_params(path: str, params, dtype=None, compressed: bool = False) -> None:
     """Write a parameter tree as a flat .npz.
 
     `dtype` (e.g. np.float16) downcasts floating arrays for distribution —
-    half the file size; `load_params` upcasts them back to float32 (compute
+    half the file size; the downcast is recorded in an explicit sidecar key
+    so `load_params` can upcast exactly those files back to float32 (compute
     always runs from fp32 master params; the shipped bf16 compute modes cast
-    separately at call time).  Integer/bool leaves are kept as-is.
+    separately at call time).  A tree that legitimately contains fp16 leaves
+    and is saved *without* `dtype` round-trips unchanged.  Integer/bool
+    leaves are kept as-is.
     """
     flat = _flatten(params)
     if dtype is not None:
@@ -51,17 +59,19 @@ def save_params(path: str, params, dtype=None, compressed: bool = False) -> None
             return v.astype(dtype)
 
         flat = {k: _cast(v) for k, v in flat.items()}
+        flat[_DIST_DTYPE_KEY] = np.asarray(np.dtype(dtype).name)
     (np.savez_compressed if compressed else np.savez)(path, **flat)
 
 
 def load_params(path: str):
     with np.load(path, allow_pickle=False) as data:
-        flat = {}
-        for k in data.files:
-            v = data[k]
-            if v.dtype == np.float16:  # distribution-compressed; restore master dtype
-                v = v.astype(np.float32)
-            flat[k] = v
+        flat = {k: data[k] for k in data.files}
+    dist_dtype = flat.pop(_DIST_DTYPE_KEY, None)
+    if dist_dtype is not None:
+        # distribution-compressed: restore master fp32 for the arrays that
+        # were downcast (out-of-range arrays were kept at master precision)
+        dd = np.dtype(str(dist_dtype))
+        flat = {k: (v.astype(np.float32) if v.dtype == dd else v) for k, v in flat.items()}
     tree = _unflatten(flat)
     return _restore_scalars(tree)
 

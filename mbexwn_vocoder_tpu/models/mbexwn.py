@@ -346,6 +346,30 @@ class MBExWN(Module):
 
     # ------------------------------------------------------------------ init
 
+    @property
+    def wn_fold_factor(self):
+        """Time decimation from the pulse rate to the WaveNet input rate.
+
+        The reshape fold decimates by pulse_channels; the PQMF-analysis fold
+        decimates by its own subband count (the rate algebra requires the two
+        to agree, custom_pulsed_generator.py:892-900).
+        """
+        return (
+            self.pulse_channels_multi_band_config["subbands"]
+            if self.pulse_channels_use_pqmf
+            else self.pulse_channels
+        )
+
+    @property
+    def wn_in_channels(self):
+        """Channel count entering the first WaveNet block: the folded pulse
+        channels + subharmonic channels + the optional noise channel.  Single
+        source of truth -- init, the FLOP estimator, and the stage profiler
+        all derive from this (custom_pulsed_generator.py:892-906)."""
+        return self.wn_fold_factor + self.pulse_channels * self.wavetable.add_subharm_chans + (
+            1 if self.pp_mod_subnet_noise_channel_sigma else 0
+        )
+
     def init(self, rng, mel_shape):
         B, T_mel, C = mel_shape
         params = {}
@@ -365,18 +389,7 @@ class MBExWN(Module):
         params["wavetables"] = jnp.asarray(self.wavetable.wavetables)
 
         t_pulse = T_mel * self.spect_to_pulse_upsampling_factor
-        # fold factor: the reshape fold uses pulse_channels; the PQMF-analysis
-        # fold decimates by its own subband count (the rate algebra requires
-        # the two to agree, custom_pulsed_generator.py:892-900)
-        fold = (
-            self.pulse_channels_multi_band_config["subbands"]
-            if self.pulse_channels_use_pqmf
-            else self.pulse_channels
-        )
-        n_in = fold + self.pulse_channels * self.wavetable.add_subharm_chans + (
-            1 if self.pp_mod_subnet_noise_channel_sigma else 0
-        )
-        curr_shape = (B, t_pulse // fold, n_in)
+        curr_shape = (B, t_pulse // self.wn_fold_factor, self.wn_in_channels)
         for bl in self.pp_waveNetBlocks:
             p, curr_shape = bl.init(next(r), (curr_shape, mel_shape))
             params[bl.name] = p
@@ -504,15 +517,20 @@ class MBExWN(Module):
             return audio_list, gain_list
         return audio_list
 
-    def generate_excitation(self, params, mel, pulse_frequency, mb_gain=None, noise=None, rng=None,
-                            phase_offset=None):
-        """Excitation waveform (B, T_mel*hop) at the output sample rate.
+    def fold_pulse_channels(self, pulse_signal, noise=None, rng=None):
+        """Fold the pulse-rate oscillator output to the WaveNet input rate and
+        append the noise channel.
 
-        reference: custom_pulsed_generator.py:886-925
+        Either a plain reshape to `pulse_channels` (x subharmonic channels) or
+        a PQMF analysis split when `pulse_channels_multi_band_config` is set,
+        then the sigma-scaled Gaussian noise channel.  Single source of truth
+        for the channel layout -- generate_excitation and the pretraining
+        stats walk both call this.
+
+        reference: custom_pulsed_generator.py:892-906
         """
-        from ..ops.pqmf_ops import pqmf_analysis, pqmf_synthesis
+        from ..ops.pqmf_ops import pqmf_analysis
 
-        pulse_signal = self._oscillate(params, pulse_frequency, phase_offset=phase_offset)
         B = pulse_signal.shape[0]
         n_sub = self.wavetable.add_subharm_chans
 
@@ -533,6 +551,18 @@ class MBExWN(Module):
                     rng = jax.random.PRNGKey(0)
                 noise = jax.random.normal(rng, x.shape[:-1] + (1,), dtype=x.dtype)
             x = jnp.concatenate((x, self.pp_mod_subnet_noise_channel_sigma * noise), axis=-1)
+        return x
+
+    def generate_excitation(self, params, mel, pulse_frequency, mb_gain=None, noise=None, rng=None,
+                            phase_offset=None):
+        """Excitation waveform (B, T_mel*hop) at the output sample rate.
+
+        reference: custom_pulsed_generator.py:886-925
+        """
+        from ..ops.pqmf_ops import pqmf_synthesis
+
+        pulse_signal = self._oscillate(params, pulse_frequency, phase_offset=phase_offset)
+        x = self.fold_pulse_channels(pulse_signal, noise=noise, rng=rng)
 
         for bl in self.pp_waveNetBlocks:
             if self.remat_wavenet_blocks:
@@ -554,7 +584,7 @@ class MBExWN(Module):
             y = pqmf_synthesis(x, jnp.asarray(self.pqmf_filters[1]), mb["subbands"], mb["taps"],
                                mb.get("max_band"))[:, :, 0]
         else:
-            y = x.reshape(B, x.shape[1] * x.shape[2])
+            y = x.reshape(x.shape[0], x.shape[1] * x.shape[2])
         return y
 
     def _get_cepstral_windows(self, f0, smooth_stride):

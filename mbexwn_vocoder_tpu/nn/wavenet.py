@@ -237,6 +237,8 @@ class WaveNetAE(Module):
             and self.cond_conv_upsampling is not None
             and self.kernel_size == 3
             and self.padding == "SAME"
+            and self.activation == "gtu"  # the kernel hardcodes tanh*sigmoid
+            and self.tp_axis is None  # kernel has no GSPMD partitioning rule
         ):
             skip_sum = self._fused_stack(params, started_full, cond_layers[0])
             return self.end(params["end"], skip_sum).astype(in_dtype)

@@ -185,10 +185,7 @@ def synthesis_flops(model, T_mel: int = 1, batch: int = 1) -> Dict:
     t = t_wn_in
     for bl in blk.pp_waveNetBlocks:
         w = bl.wavenet
-        n_in = blk.pulse_channels * (1 + blk.wavetable.add_subharm_chans) + (
-            1 if blk.pp_mod_subnet_noise_channel_sigma else 0
-        )
-        wn += conv_flops(t, n_in, w.n_channels, 1)  # start
+        wn += conv_flops(t, blk.wn_in_channels, w.n_channels, 1)  # start
         for conv, rs in zip(w.conv_layers, w.res_skip_layers):
             wn += conv_flops(t, w.n_grp_channels, conv.filters, conv.kernel_size)
             wn += conv_flops(t, w.n_grp_channels, rs.filters, 1)

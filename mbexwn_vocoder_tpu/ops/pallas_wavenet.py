@@ -76,7 +76,9 @@ def _group_kernel(dils: Tuple[int, ...], Tt: int, C: int, halo: int, T_real: int
         )
         pos += d
         y += bd_ref[l].astype(jnp.float32)
-        y += ch[pos : pos + Wn].astype(jnp.float32)
+        # cond rides HBM with its lane dim padded to a 128 multiple like x;
+        # drop the pad lanes here
+        y += ch[pos : pos + Wn, : 2 * C].astype(jnp.float32)
         gated = (jnp.tanh(y[:, :C]) * jax.nn.sigmoid(y[:, C:])).astype(x_cur.dtype)
         rs = jax.lax.dot_general(
             gated, wr_ref[l], (((1,), (0,)), ((), ())),
@@ -130,8 +132,9 @@ def fused_wavenet_group(x, cond, w_dil, b_dil, w_rs, b_rs, dils: Sequence[int],
     W0 = tile_t + 2 * halo
 
     C_pad = -(-C // 128) * 128
+    C2_pad = -(-(2 * C) // 128) * 128  # cond DMA needs the same lane alignment
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, C_pad - C)))
-    cp = jnp.pad(cond, ((0, 0), (halo, halo), (0, 0)))
+    cp = jnp.pad(cond, ((0, 0), (halo, halo), (0, C2_pad - 2 * C)))
     if skip_in is None:
         skip_in = jnp.zeros_like(x)
 
@@ -162,7 +165,7 @@ def fused_wavenet_group(x, cond, w_dil, b_dil, w_rs, b_rs, dils: Sequence[int],
         ],
         scratch_shapes=[
             pltpu.VMEM((W0, C_pad), x.dtype),
-            pltpu.VMEM((W0, 2 * C), cond.dtype),
+            pltpu.VMEM((W0, C2_pad), cond.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -115,13 +115,7 @@ def activation_stats_loss(model, params, mel, target: float = 1.0, rng=None):
 
     pulse_frequency = blk.generate_f0(params, mel)
     pulse_signal = blk._oscillate(params, pulse_frequency)
-    x = pulse_signal.reshape(pulse_signal.shape[0], -1,
-                             blk.pulse_channels * (1 + blk.wavetable.add_subharm_chans))
-    if blk.pp_mod_subnet_noise_channel_sigma:
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        noise = jax.random.normal(rng, x.shape[:-1] + (1,), dtype=x.dtype)
-        x = jnp.concatenate((x, blk.pp_mod_subnet_noise_channel_sigma * noise), axis=-1)
+    x = blk.fold_pulse_channels(pulse_signal, rng=rng)
     for bl in blk.pp_waveNetBlocks:
         all_stats += collect_wavenet_stats(bl.wavenet, params[bl.name]["wavenet"], (x, mel))
         x = bl(params[bl.name], (x, mel))

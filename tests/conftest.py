@@ -19,9 +19,12 @@ os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 # pin fp32 compute for the test suite: the registry configs ship bfloat16
 # inference compute (wn_compute_dtype/subnet_compute_dtype), but oracle
 # parity and chunked-vs-one-shot equality are fp32 contracts.  An empty env
-# value means "force fp32"; bf16-specific tests monkeypatch these.
-os.environ.setdefault("MBEXWN_WN_DTYPE", "")
-os.environ.setdefault("MBEXWN_SUBNET_DTYPE", "")
+# value means "force fp32"; bf16-specific tests monkeypatch these.  Hard
+# assignment, not setdefault -- a bfloat16 value inherited from the shell
+# (the bench/profile docs tell users to export it) must not leak into the
+# suite.
+os.environ["MBEXWN_WN_DTYPE"] = ""
+os.environ["MBEXWN_SUBNET_DTYPE"] = ""
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402

@@ -69,6 +69,24 @@ def test_params_npz_fp16_distribution_roundtrip(tmp_path):
             np.testing.assert_array_equal(va, vb)
 
 
+def test_params_npz_native_fp16_leaves_roundtrip_exact(tmp_path):
+    """A tree that legitimately contains fp16 leaves, saved WITHOUT the
+    distribution downcast, round-trips bit-exactly (the downcast marker is an
+    explicit sidecar key, not inferred from dtype)."""
+    tree = {
+        "a": {"w": np.random.RandomState(0).randn(4, 3).astype(np.float16)},
+        "b": np.float32([1.5, -2.25]),
+        "c": np.arange(5, dtype=np.int32),
+    }
+    path = str(tmp_path / "w.npz")
+    save_params(path, tree)
+    restored = load_params(path)
+    assert restored["a"]["w"].dtype == np.float16
+    np.testing.assert_array_equal(restored["a"]["w"], tree["a"]["w"])
+    np.testing.assert_array_equal(restored["b"], tree["b"])
+    np.testing.assert_array_equal(restored["c"], tree["c"])
+
+
 def test_weights_tf_conversion_roundtrip(tmp_path):
     """Save a reference model's weights.tf, convert via convert_model_dir,
     load through MELInverter, and check output parity vs the TF model."""

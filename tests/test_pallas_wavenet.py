@@ -63,6 +63,23 @@ def test_fused_group_matches_xla():
     np.testing.assert_allclose(np.asarray(skip_out), np.asarray(skip_ref), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_group_unaligned_cond_lanes():
+    """2*C not a multiple of 128 (the VOICE flagship is C=340 -> 680 lanes):
+    the cond slab must ride HBM lane-padded like x so the manual halo DMA
+    stays tile-aligned."""
+    rng = np.random.RandomState(2)
+    dils = (1, 2, 4)
+    x, cond, weights = _make_case(rng, B=1, T=64, C=12, dils=dils)  # 2C=24
+    x_ref, skip_ref = _xla_reference(x, cond, weights, dils)
+    wd = jnp.stack([w[0] for w in weights])
+    bd = jnp.stack([w[1] for w in weights])
+    wr = jnp.stack([w[2] for w in weights])
+    br = jnp.stack([w[3] for w in weights])
+    x_out, skip_out = fused_wavenet_group(x, cond, wd, bd, wr, br, dils, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(skip_out), np.asarray(skip_ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_stack_matches_xla_with_tiling_and_skip_only_tail():
     """12 layers in 3 groups, T split into multiple tiles, last layer
     skip-only -- the flagship configuration's structure."""

@@ -84,9 +84,12 @@ def main():
     def _full(params, mel):
         return model.infer(params, mel, synth_length=T * hop)
 
-    fold = blk.pulse_channels
-    n_wn_in = fold + (1 if blk.pp_mod_subnet_noise_channel_sigma else 0)
-    xs = [jnp.asarray(rng.randn(B, T * stp // fold, n_wn_in).astype(np.float32) * 0.1)
+    # channel layout / fold factor derived from the model (single source of
+    # truth, models/mbexwn.py::wn_in_channels) -- handles PQMF folds and
+    # subharmonic channels
+    xs = [jnp.asarray(
+              rng.randn(B, T * stp // blk.wn_fold_factor, blk.wn_in_channels).astype(np.float32)
+              * 0.1)
           for _ in range(n_in)]
 
     stages = {

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--dest", default=None, help="registry model dir (default: keep run config's registry id)")
     ap.add_argument("--report", default=None, help="quality_report.json to ship alongside")
     ap.add_argument("--fp32", action="store_true", help="keep fp32 weights (no distribution downcast)")
+    ap.add_argument("--take-run-config", action="store_true",
+                    help="replace an existing registry config.yaml with the run's config")
     args = ap.parse_args()
 
     src_weights = os.path.join(args.run, "weights.npz")
@@ -52,10 +54,27 @@ def main():
         save_params(dst_weights, params, compressed=True)
     else:
         save_params(dst_weights, params, dtype=np.float16, compressed=True)
-    # keep the registry config.yaml authoritative if dest already has one
-    # (the run config is a dump of the same dict); otherwise install it
+    # the run's config.yaml is what the weights were actually trained under
+    # (it may differ from the registry's via --cargs overrides); publishing
+    # weights against a mismatched architecture config would fail at load or,
+    # worse, load silently wrong.  If dest already has a config, require the
+    # model-defining blocks to agree; --take-run-config replaces it.
     dst_config = os.path.join(dest, "config.yaml")
-    if not os.path.exists(dst_config):
+    if os.path.exists(dst_config) and not args.take_run_config:
+        import yaml
+
+        with open(src_config) as f:
+            run_cfg = yaml.safe_load(f)
+        with open(dst_config) as f:
+            reg_cfg = yaml.safe_load(f)
+        for key in ("mbexwn_config", "preprocess_config"):
+            if run_cfg.get(key) != reg_cfg.get(key):
+                raise SystemExit(
+                    f"run config's {key} differs from the registry config at {dst_config} — "
+                    "the trained weights would not match the published architecture. "
+                    "Pass --take-run-config to publish the run's config instead."
+                )
+    else:
         shutil.copyfile(src_config, dst_config)
 
     if args.report and os.path.exists(args.report):
