@@ -29,12 +29,22 @@ SPECS = [
     ("voice_eval", 997, 8, "mixed"),
 ]
 
+# larger variance-matched corpora for extended training runs (--xl); the
+# train seeds differ from the base corpora so the 40-utterance sets are NOT
+# subsets — a checkpoint's provenance names exactly one spec row
+XL_SPECS = [
+    ("synth_train_xl", 20, 160, "speech"),
+    ("sing_train_xl", 21, 160, "singing"),
+    ("voice_train_xl", 22, 160, "mixed"),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=".data")
+    ap.add_argument("--xl", action="store_true", help="also build the 160-utterance training corpora")
     args = ap.parse_args()
-    for name, seed, n, style in SPECS:
+    for name, seed, n, style in SPECS + (XL_SPECS if args.xl else []):
         out = os.path.join(args.root, name)
         paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
         print(f"{out}: {len(paths)} utterances ({style}, seed {seed})")

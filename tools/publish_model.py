@@ -61,12 +61,13 @@ def main():
     # model-defining blocks to agree; --take-run-config replaces it.
     dst_config = os.path.join(dest, "config.yaml")
     if os.path.exists(dst_config) and not args.take_run_config:
-        import yaml
+        # resolve <@CONFIG_DIR@/...> includes on both sides before comparing:
+        # registry configs reference common/base.yaml, run configs are dumped
+        # fully resolved
+        from mbexwn_vocoder_tpu.config.config_utils import read_config
 
-        with open(src_config) as f:
-            run_cfg = yaml.safe_load(f)
-        with open(dst_config) as f:
-            reg_cfg = yaml.safe_load(f)
+        run_cfg = read_config(src_config)
+        reg_cfg = read_config(dst_config)
         for key in ("mbexwn_config", "preprocess_config"):
             if run_cfg.get(key) != reg_cfg.get(key):
                 raise SystemExit(

@@ -30,6 +30,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import jax as _jax
+
+    try:  # persistent compile cache: eval shapes compile once per image
+        _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import numpy as np
 
     from mbexwn_vocoder_tpu.compat.audio_io import read_wav
