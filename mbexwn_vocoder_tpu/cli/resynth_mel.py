@@ -13,7 +13,7 @@ import numpy as np
 
 
 def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, seed=42,
-         quiet=False, use_gpu=False, num_threads=2, batch=1):
+         quiet=False, use_gpu=False, num_threads=2, batch=1, pipeline=0):
     from .. import list_models
     from ..compat import iovar
     from ..compat.audio_io import write_wav
@@ -25,6 +25,11 @@ def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, se
 
     if output_dir and not os.path.exists(output_dir):
         os.makedirs(output_dir)
+
+    if pipeline:
+        _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose,
+                        quiet, depth=pipeline)
+        return
 
     for mell_file in input_mell_files:
         outfile = os.path.join(
@@ -58,6 +63,43 @@ def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, se
         write_wav(outfile, syn_audio, MelInv.srate)
 
 
+def _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose, quiet, depth):
+    """Depth-bounded pipelined serving loop: device synthesis of file i+1
+    overlaps the readback/mel-check/wav-write of file i (serving.py)."""
+    from ..compat import iovar
+    from ..compat.audio_io import write_wav
+    from ..dsp.db import log_to_db
+    from ..serving import PipelinedSynthesizer
+
+    ps = PipelinedSynthesizer(MelInv.model, MelInv.params,
+                              length_buckets=MelInv.length_buckets, depth=depth)
+    outfiles, mels = [], []
+    for mell_file in input_mell_files:
+        outfiles.append(os.path.join(
+            output_dir, "syn_" + os.path.splitext(os.path.basename(mell_file))[0] + "." + format
+        ))
+        mels.append(MelInv.scale_mel(iovar.load_var(mell_file), verbose=verbose))
+
+    start_time = time.time()
+    for i, syn_audio in enumerate(ps.stream(m for m in mels)):
+        if not quiet:
+            print(f"synthesize {input_mell_files[i]} into {outfiles[i]}", file=sys.stderr)
+        if verbose:
+            mel_resyn = MelInv.generate_mel_from_snd(syn_audio, srate=MelInv.srate)["mell"].T[np.newaxis]
+            mell_err = log_to_db * np.mean(np.abs(mels[i] - mel_resyn[:, : mels[i].shape[1]]))
+            print(f"    mel_error: {mell_err:.3f}dB", file=sys.stderr)
+        if np.max(np.abs(syn_audio)) > 1:
+            norm = 0.99 / np.max(np.abs(syn_audio))
+            print(f"    to prevent clipping you would need to normalize {outfiles[i]} by {norm:.3f}",
+                  file=sys.stderr)
+        write_wav(outfiles[i], syn_audio, MelInv.srate)
+    if not quiet:
+        dur = time.time() - start_time
+        n = sum(m.shape[1] for m in mels) * MelInv.hop_size
+        print(f"pipelined {len(mels)} files ({n} samples) in {dur:.3f}s "
+              f"({n / dur:.2f}Hz, depth {depth})", file=sys.stderr)
+
+
 def cli():
     from ..platform import apply_platform_override
 
@@ -74,6 +116,9 @@ def cli():
     parser.add_argument("--format", default="wav", help="audio format (wav)")
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument("-q", "--quiet", action="store_true")
+    parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
+                        help="serve files through a DEPTH-deep async pipeline "
+                             "(overlaps device synthesis with readback/writes)")
     parser.add_argument("--cpu_threads", type=int, default=None,
                         help="bound host CPU threads for fair CPU benchmarking "
                              "(reference default: 2; resynth_mel.py:61-62)")

@@ -52,6 +52,24 @@ def test_full_round_trip(tone_wav, tmp_path):
     assert np.all(np.isfinite(y))
 
 
+def test_resynth_pipelined_matches_blocking(tone_wav, tmp_path):
+    """--pipeline N serves the same files through serving.PipelinedSynthesizer;
+    outputs must be identical to the blocking loop."""
+    from mbexwn_vocoder_tpu.cli.generate_mel import main as gen_main
+    from mbexwn_vocoder_tpu.cli.resynth_mel import main as syn_main
+    from mbexwn_vocoder_tpu.compat.audio_io import read_wav
+
+    meldir = str(tmp_path / "mel")
+    gen_main([tone_wav], meldir, model_id="SPEECH")
+    mells = [os.path.join(meldir, "tone.mell")]
+    syn_main("SPEECH", mells, str(tmp_path / "blocking"))
+    syn_main("SPEECH", mells, str(tmp_path / "pipelined"), pipeline=2)
+    y0, _ = read_wav(os.path.join(str(tmp_path / "blocking"), "syn_tone.wav"))
+    y1, sr = read_wav(os.path.join(str(tmp_path / "pipelined"), "syn_tone.wav"))
+    assert sr == 24000
+    np.testing.assert_array_equal(y0, y1)
+
+
 def test_view_mel_cli(tone_wav, tmp_path, capsys):
     from mbexwn_vocoder_tpu.cli.view_mel import main
 
