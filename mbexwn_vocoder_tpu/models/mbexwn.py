@@ -43,6 +43,16 @@ def _use_pallas_oscillator() -> bool:
     return _os.environ.get("MBEXWN_PALLAS", "0") in ("1", "on", "true")
 
 
+def _use_fused_subnet_tail() -> bool:
+    """Fused F0-subnet tail (MBEXWN_FUSED_TAIL=1): runs the trailing
+    LinInterp -> PReLU -> 1x1-conv -> activation chain as one einsum at the
+    pre-interpolation rate, so the (B, T_12kHz, C) intermediates never
+    reach HBM (nn/subnet.py::_TailFusedSequential).  Bit-compatible with the
+    layered path (same params, same math); opt-in until the measured win on
+    hardware is recorded in PERFORMANCE.md."""
+    return _os.environ.get("MBEXWN_FUSED_TAIL", "0") in ("1", "on", "true")
+
+
 class MBExWN(Module):
     """Synthesize audio from mel spectrograms via a multi-band excited WaveNet."""
 
@@ -179,6 +189,10 @@ class MBExWN(Module):
                 use_prelu=use_prelu,
                 alpha=alpha,
             )
+            if _use_fused_subnet_tail():
+                from ..nn.subnet import fuse_subnet_tail
+
+                self.pp_subnet = fuse_subnet_tail(self.pp_subnet)
 
         if pp_subnet_training_only:
             return

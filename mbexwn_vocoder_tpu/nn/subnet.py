@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax.numpy as jnp
+
 from .core import Module, Sequential
 from .layers import Activation, Conv1DUpDownSample, Conv1DWeightNorm, LinInterpLayer, Pad1d
 
@@ -26,6 +28,86 @@ def get_missing_upsampling_factor(target_ups, total_ups, base_name):
             f"{target_ups} from {total_ups} is not possible for subnet {base_name}"
         )
     return up
+
+
+class _TailFusedSequential(Sequential):
+    """Sequential whose trailing [LinInterp(U), Act, Conv1x1, Act?] runs as one
+    fused contraction at the *pre-interpolation* rate.
+
+    TPU note: the unfused tail materializes three high-rate (B, T*U, C)
+    tensors in HBM (interp output, activation output, conv input) just to
+    reduce C channels down to `filters` — at the F0 subnet's 12 kHz pulse
+    rate this tail is pure memory traffic.  Linear interpolation is a
+    broadcast against the U phase weights, so the whole tail folds into one
+    einsum over (…, U, C): XLA keeps the (B, T, U, C) intermediate in
+    registers/VMEM and only the (B, T*U, filters) result (filters=1 for the
+    F0 net) ever reaches HBM.  Parameter tree and results are identical to
+    the unfused layers (tests/test_serving.py::test_fused_tail_*).
+    """
+
+    def __init__(self, layers, fused_count: int, name: str):
+        super().__init__(layers, name=name)
+        self.fused_count = fused_count
+
+    def __call__(self, params, x, **kwargs):
+        tail = self.layers[len(self.layers) - self.fused_count:]
+        for layer in self.layers[: len(self.layers) - self.fused_count]:
+            x = layer(params.get(layer.name, {}), x, **kwargs)
+
+        interp, act, conv = tail[0], tail[1], tail[2]
+        final_act = tail[3] if len(tail) > 3 else None
+        U = interp.upsampling_factor
+        if interp.num_pad_end > 0:
+            x = jnp.concatenate([x, jnp.repeat(x[:, -1:], interp.num_pad_end, axis=1)], axis=1)
+        B, T, C = x.shape
+        w1 = (jnp.arange(U, dtype=x.dtype) / U)[None, None, :, None]
+        z = x[:, :-1, None, :] * (1.0 - w1) + x[:, 1:, None, :] * w1  # (B, T-1, U, C)
+        z = act(params.get(act.name, {}), z)
+        kernel, post_gain = conv.kernel(params[conv.name])
+        y = jnp.einsum("btuc,cf->btuf", z, kernel[0].astype(z.dtype),
+                       preferred_element_type=jnp.float32)
+        if post_gain is not None:
+            y = post_gain * y
+        bias = params[conv.name].get("b")
+        if bias is not None:
+            y = y + bias
+        y = y.astype(x.dtype).reshape(B, (T - 1) * U, conv.filters)
+        if not interp.drop_last:
+            # interp's appended last frame feeds the (pointwise) conv too
+            last = x[:, -1:, :]
+            last = act(params.get(act.name, {}), last)
+            yl = jnp.einsum("btc,cf->btf", last, kernel[0].astype(last.dtype),
+                            preferred_element_type=jnp.float32)
+            if post_gain is not None:
+                yl = post_gain * yl
+            if bias is not None:
+                yl = yl + bias
+            y = jnp.concatenate([y, yl.astype(y.dtype)], axis=1)
+        if final_act is not None:
+            y = final_act(params.get(final_act.name, {}), y)
+        return y
+
+
+def fuse_subnet_tail(seq: Sequential) -> Sequential:
+    """Return a tail-fused view of `seq` when its trailing layers match
+    [LinInterpLayer, Activation, 1x1 Conv1DWeightNorm, Activation?]; the
+    original Sequential otherwise.  Parameters are shared either way."""
+    ls = seq.layers
+    n = len(ls)
+    for count, pattern_end in ((4, True), (3, False)):
+        if n < count:
+            continue
+        tail = ls[n - count:]
+        interp, act, conv = tail[0], tail[1], tail[2]
+        if not (isinstance(interp, LinInterpLayer) and interp.upsampling_factor > 1
+                and type(act) is Activation and act.activation_function is not None
+                and type(conv) is Conv1DWeightNorm and conv.kernel_size == 1
+                and conv.strides == 1 and conv.dilation_rate == 1):
+            continue
+        if pattern_end and not (type(tail[3]) is Activation):
+            continue
+        return _TailFusedSequential(ls, fused_count=count, name=seq.name)
+    return seq
 
 
 def _pad_layer(ks, base_name, ii, force_causal, pad_to_valid):
