@@ -152,6 +152,8 @@ def cli():
     parser.add_argument("--save_every", type=int, default=None)
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--num_workers", type=int, default=2,
+                        help="prefetch threads extracting mel/F0 targets")
     parser.add_argument("--no_resume", dest="resume", action="store_false")
     parser.add_argument("-a", "--cargs", default=None, nargs="+",
                         help="config overrides with ':' as field separator")

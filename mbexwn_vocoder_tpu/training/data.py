@@ -118,10 +118,15 @@ class PrefetchLoader:
     def _worker(self):
         while not self._stop.is_set():
             batch = self.dataset.batch(self.batch_size)
-            try:
-                self.q.put(batch, timeout=1.0)
-            except queue.Full:
-                continue
+            # block until the batch is consumed (short timeouts so close()
+            # still wins): recomputing on queue.Full would silently burn a
+            # full core re-extracting mel/F0 whenever the queue is full
+            while not self._stop.is_set():
+                try:
+                    self.q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:

@@ -48,6 +48,31 @@ def test_fuse_no_match_returns_original():
     assert fuse_subnet_tail(net) is net
 
 
+def test_fused_tail_bf16_subnet_dtype(monkeypatch):
+    """The reduced-precision subnet path (MBEXWN_SUBNET_DTYPE=bfloat16) runs
+    the fused tail in bf16 with the same dtype contract as the layered path:
+    outputs match the layered bf16 computation closely."""
+    monkeypatch.setenv("MBEXWN_SUBNET_DTYPE", "bfloat16")
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=2, n_out_channels=8)
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0
+    mc["normalize_rms_from_mell"] = False
+
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    mel = jnp.asarray(np.random.RandomState(2).randn(1, 8, 80).astype(np.float32) * 0.5 - 4)
+    f0_layered = np.asarray(model.block.generate_f0(params, mel))
+
+    monkeypatch.setenv("MBEXWN_FUSED_TAIL", "1")
+    fused_model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    f0_fused = np.asarray(fused_model.block.generate_f0(params, mel))
+    assert f0_fused.dtype == f0_layered.dtype
+    # both paths round the sigmoid output to bf16; reduction-order changes can
+    # flip its last ulp (~2e-3 of the 560 Hz span after rescale), no more
+    np.testing.assert_allclose(f0_fused, f0_layered, rtol=2e-3, atol=1.5)
+
+
 def test_model_env_flag_full_infer(monkeypatch):
     """MBEXWN_FUSED_TAIL=1 builds a model whose end-to-end inference matches
     the default build on the same params."""
