@@ -116,10 +116,14 @@ def cli():
     parser.add_argument("--format", default="wav", help="audio format (wav)")
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument("-q", "--quiet", action="store_true")
+    parser.add_argument("-g", "--use_gpu", action="store_true",
+                        help="accepted for reference-CLI compatibility (the accelerator "
+                             "here is the ambient TPU/JAX backend; use MBEXWN_PLATFORM=cpu "
+                             "to force CPU)")
     parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
                         help="serve files through a DEPTH-deep async pipeline "
                              "(overlaps device synthesis with readback/writes)")
-    parser.add_argument("--cpu_threads", type=int, default=None,
+    parser.add_argument("-nt", "--cpu_threads", "--num_threads", type=int, default=None,
                         help="bound host CPU threads for fair CPU benchmarking "
                              "(reference default: 2; resynth_mel.py:61-62)")
     args = parser.parse_args()
