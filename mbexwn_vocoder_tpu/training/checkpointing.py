@@ -34,6 +34,28 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def restore_params_only(self):
+        """(params, step) from the latest checkpoint without a state template.
+
+        Restores every leaf as host numpy (per-leaf RestoreArgs built from
+        the checkpoint's own metadata tree): no optimizer reconstruction, no
+        model build, and — unlike the default restore path — no attempt to
+        re-place arrays on the device topology the run was saved under, so a
+        killed TPU run's weights export on a CPU-only host
+        (tools/export_from_checkpoint.py)."""
+        import jax.tree_util as jtu
+        import orbax.checkpoint as ocp
+
+        step = self.manager.latest_step()
+        if step is None:
+            return None, None
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        ra = jtu.tree_map(lambda _m: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+        restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=ra))
+        return restored["params"], int(np.asarray(restored["step"]))
+
     def restore(self, state_template) -> Any:
         """Restore the latest checkpoint into the template's structure."""
         import orbax.checkpoint as ocp

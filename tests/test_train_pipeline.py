@@ -184,6 +184,21 @@ def test_train_cli_end_to_end(tmp_path):
     assert y.shape == (8 * 300,)
     assert np.all(np.isfinite(y))
 
+    # killed-run export path: params restore from the Orbax checkpoint alone,
+    # as host numpy, without a state template (tools/export_from_checkpoint.py)
+    from mbexwn_vocoder_tpu.training.checkpointing import CheckpointManager
+
+    params, step = CheckpointManager(os.path.join(out_dir, "checkpoints")).restore_params_only()
+    assert step == 6
+    flat = jax.tree_util.tree_leaves(params)
+    assert flat and all(isinstance(l, np.ndarray) for l in flat)
+    ref = dict(np.load(os.path.join(out_dir, "weights.npz")))
+    some_key = sorted(k for k in ref if not k.startswith("__"))[0]
+    leaf = params
+    for part in some_key.split("/"):
+        leaf = leaf[part]
+    np.testing.assert_array_equal(np.asarray(leaf), ref[some_key])
+
 
 def test_observability_helpers(tmp_path):
     from mbexwn_vocoder_tpu.observability import MetricsLogger, check_finite, model_summary, dump_controls
