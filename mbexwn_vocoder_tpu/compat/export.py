@@ -54,10 +54,14 @@ def export_synthesis(model, params, T_mel: int, batch_size: int = 1,
     return _MAGIC + len(meta_blob).to_bytes(8, "little") + meta_blob + exp.serialize()
 
 
-def load_exported(blob: bytes):
-    """Deserialize an artifact -> (callable mel->waveform, metadata dict)."""
+def load_exported(blob):
+    """Deserialize an artifact (bytes, or a path to one) ->
+    (callable mel->waveform, metadata dict)."""
     from jax import export as jexport
 
+    if isinstance(blob, (str, os.PathLike)):
+        with open(blob, "rb") as f:
+            blob = f.read()
     if not blob.startswith(_MAGIC):
         raise ValueError("not an MBExWN AOT artifact")
     off = len(_MAGIC)
