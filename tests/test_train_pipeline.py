@@ -47,6 +47,73 @@ def test_f0_estimator_on_known_tone():
     assert np.all(f0s == 0)
 
 
+def _estimate_f0_scalar(x, sample_rate, hop, fmin=50.0, fmax=600.0, frame_len=None, threshold=0.15):
+    """Straight per-frame transcription of the YIN recipe (the original
+    implementation of dsp/f0.py::estimate_f0) — oracle for the vectorized path."""
+    x = np.asarray(x, dtype=np.float64)
+    tau_min = max(2, int(sample_rate / fmax))
+    tau_max = int(sample_rate / fmin)
+    if frame_len is None:
+        frame_len = 2 * tau_max
+    n_frames = x.shape[-1] // hop + 1
+    xp = np.pad(x, (frame_len // 2, frame_len + tau_max))
+    f0 = np.zeros(n_frames)
+    for i in range(n_frames):
+        frame = xp[i * hop : i * hop + frame_len + tau_max]
+        w = frame[:frame_len]
+        cs = np.concatenate(([0.0], np.cumsum(frame**2)))
+        r0 = cs[frame_len]
+        if r0 < 1e-8:
+            continue
+        corr = np.correlate(frame, w, mode="valid")[: tau_max + 1]
+        r_tau = cs[np.arange(tau_max + 1) + frame_len] - cs[np.arange(tau_max + 1)]
+        d = r0 + r_tau - 2 * corr
+        dprime = np.ones(tau_max + 1)
+        csum = np.cumsum(d[1:])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dprime[1:] = d[1:] * np.arange(1, tau_max + 1) / np.where(csum > 0, csum, 1e-12)
+        seg = dprime[tau_min : tau_max + 1]
+        below = np.flatnonzero(seg < threshold)
+        if below.size:
+            tau = below[0] + tau_min
+            while tau + 1 <= tau_max and dprime[tau + 1] < dprime[tau]:
+                tau += 1
+        else:
+            tau = int(np.argmin(seg)) + tau_min
+            if seg.min() > 0.5:
+                continue
+        if 1 <= tau < tau_max:
+            a, b, c = dprime[tau - 1], dprime[tau], dprime[tau + 1]
+            denom = a - 2 * b + c
+            delta = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+            delta = np.clip(delta, -0.5, 0.5)
+        else:
+            delta = 0.0
+        f0[i] = sample_rate / (tau + delta)
+    return f0.astype(np.float32)
+
+
+def test_f0_vectorization_matches_scalar():
+    """The batched rFFT implementation reproduces the per-frame loop on
+    voiced+unvoiced+silent material (voicing decisions included)."""
+    from mbexwn_vocoder_tpu.dsp.f0 import estimate_f0
+
+    sr, hop = 24000, 300
+    rng = np.random.RandomState(0)
+    t = np.arange(sr * 2) / sr
+    signals = [
+        np.sin(2 * np.pi * 180 * t) * np.concatenate([np.zeros(sr // 2), np.ones(sr + sr // 2)]),
+        rng.randn(sr) * 0.1,  # unvoiced noise
+        np.zeros(sr // 2),    # silence
+        np.sin(2 * np.pi * (120 + 80 * t) * t) + 0.05 * rng.randn(t.size),  # chirp + noise
+    ]
+    for sig in signals:
+        got = estimate_f0(sig.astype(np.float32), sr, hop)
+        ref = _estimate_f0_scalar(sig.astype(np.float32), sr, hop)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
+
+
 def test_segment_dataset(tmp_path):
     from mbexwn_vocoder_tpu.config import read_config
     import mbexwn_vocoder_tpu as mv
