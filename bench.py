@@ -250,13 +250,34 @@ def main():
             time.sleep(60)  # let the single-tenant claim/compile queue drain
         return None
 
+    # fast-fail path: when the device backend is unreachable (the relay
+    # tunnel can die), every jax-touching subprocess hangs in the plugin's
+    # connect loop until its timeout — probe once (first TPU claim is ~11 s
+    # healthy) and fall straight back to the last good measurement instead
+    # of burning 3x900 s to learn the same thing
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=240,
+        )
+        backend_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        backend_ok = False
+    if not backend_ok and os.path.exists(cache_path):
+        out = json.load(open(cache_path))
+        out["stale_cache"] = True
+        out["backend_unreachable"] = True
+        out["total_bench_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(out))
+        return
+
     # the full-model compile is 90-250 s/shape on a cold persistent cache and
     # the remote-compile service can wedge; 900 s + one retry bounds the
     # worst case while still capturing batch 32 cold
     b32 = sub(32, 128, timeout_s=900)
     b1 = sub(1, 512, timeout_s=900, retries=0)
 
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
     if b32 is None and b1 is None and os.path.exists(cache_path):
         # the single-tenant remote-compile service wedges occasionally; fall
         # back to the last successful measurement, explicitly flagged
