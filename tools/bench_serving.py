@@ -31,6 +31,8 @@ def main():
 
     import jax
 
+    if os.environ.get("MBEXWN_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
