@@ -25,6 +25,11 @@ os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 # suite.
 os.environ["MBEXWN_WN_DTYPE"] = ""
 os.environ["MBEXWN_SUBNET_DTYPE"] = ""
+# same reasoning for the opt-in kernel/fusion paths: the suite tests the
+# default layered path, and dedicated tests opt in via monkeypatch
+os.environ.pop("MBEXWN_FUSED_TAIL", None)
+os.environ.pop("MBEXWN_PALLAS_WN", None)
+os.environ.pop("MBEXWN_PALLAS", None)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
