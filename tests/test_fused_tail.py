@@ -42,6 +42,23 @@ def test_fused_tail_keeps_param_tree():
     assert fused.out_length(16) == net.out_length(16)
 
 
+def test_fused_tail_gradients_match():
+    """Training runs through the same subnet object, so the fused tail must
+    be gradient-equivalent to the layered path (einsum VJP vs conv VJP)."""
+    net, params = _build([[3, 12, "L5"]])
+    fused = fuse_subnet_tail(net)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 10).astype(np.float32))
+
+    def loss(module):
+        return lambda p: jnp.sum(module(p, x) ** 2)
+
+    g0 = jax.grad(loss(net))(params)
+    g1 = jax.grad(loss(fused))(params)
+    assert jax.tree_util.tree_structure(g0) == jax.tree_util.tree_structure(g1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-6)
+
+
 def test_fuse_no_match_returns_original():
     # tail ends in a missing-ups LinInterp after the final conv -> no fusion
     net, _ = _build([[3, 12, 2]], target_ups=6)
