@@ -82,6 +82,13 @@ def test_stream_is_incremental(small_model):
     assert len(list(it)) == 3
 
 
+def test_warm_precompiles_buckets(small_model):
+    model, params = small_model
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=2)
+    ps.warm()
+    assert set(ps._jitted) == {8, 16}
+
+
 def test_depth_validation(small_model):
     model, params = small_model
     with pytest.raises(ValueError):
