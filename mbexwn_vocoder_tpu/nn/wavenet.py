@@ -26,6 +26,14 @@ def _use_pallas_wavenet() -> bool:
     return os.environ.get("MBEXWN_PALLAS_WN", "0") in ("1", "on", "true")
 
 
+def _wn_quant_mode() -> str:
+    """Opt-in quantized serving mode (env-only; inference-only — rounding has
+    zero gradient, so the trainer must not run under it). See ops/quant.py."""
+    import os
+
+    return os.environ.get("MBEXWN_WN_QUANT", "").strip().lower()
+
+
 def _gate(activation: str, half_act: jnp.ndarray, half_sigmoid: jnp.ndarray) -> jnp.ndarray:
     """Gated units gtu/glu/gfu/gsu (custom_AE_layers.py:312-321)."""
     if activation == "gtu":
@@ -243,12 +251,31 @@ class WaveNetAE(Module):
             skip_sum = self._fused_stack(params, started_full, cond_layers[0])
             return self.end(params["end"], skip_sum).astype(in_dtype)
 
+        # int8 serving mode (MBEXWN_WN_QUANT=int8): per-layer dilated k=3 and
+        # res/skip 1x1 convs run as int8 matmuls (2x the MXU's bf16 rate on
+        # the throughput-bound stack — ops/quant.py).  Start/end/cond convs
+        # stay in the compute dtype: they are <3% of the stack's FLOPs.
+        quant_int8 = (
+            _wn_quant_mode() == "int8"
+            and self.kernel_size == 3
+            and self.padding == "SAME"
+        )
+        if quant_int8:
+            from ..ops.conv import fold_weight_norm
+            from ..ops.quant import conv1x1_int8, dilated_conv1d_k3_int8
+
         started = list(jnp.split(started_full, self.n_ch_groups, axis=-1))
         output = [None] * self.n_ch_groups
         for index in range(self.n_layers):
             for i_grp in range(self.n_ch_groups):
                 li = index * self.n_ch_groups + i_grp
-                in_layered = tp(cd(self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp])))
+                if quant_int8:
+                    pcq = fold_weight_norm(params[self.conv_layers[li].name])
+                    in_layered = tp(cd(dilated_conv1d_k3_int8(
+                        started[i_grp], pcq["kernel"], pcq.get("b"),
+                        self.conv_layers[li].dilation_rate)))
+                else:
+                    in_layered = tp(cd(self.conv_layers[li](params[self.conv_layers[li].name], started[i_grp])))
                 if cond_layers is not None:
                     if self.cond_conv_upsampling is not None:
                         in_layered = in_layered + cond_layers[i_grp]
@@ -256,7 +283,11 @@ class WaveNetAE(Module):
                         in_layered = in_layered + cond_layers[li]
                 half_act, half_sigmoid = jnp.split(in_layered, 2, axis=-1)
                 activated = _gate(self.activation, half_act, half_sigmoid)
-                res_skip = tp(cd(self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated)))
+                if quant_int8:
+                    prq = fold_weight_norm(params[self.res_skip_layers[li].name])
+                    res_skip = tp(cd(conv1x1_int8(activated, prq["kernel"], prq.get("b"))))
+                else:
+                    res_skip = tp(cd(self.res_skip_layers[li](params[self.res_skip_layers[li].name], activated)))
                 if index < self.n_layers - 1:
                     res, skip = jnp.split(res_skip, 2, axis=-1)
                     started[i_grp] = started[i_grp] + res

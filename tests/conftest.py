@@ -30,6 +30,7 @@ os.environ["MBEXWN_SUBNET_DTYPE"] = ""
 os.environ.pop("MBEXWN_FUSED_TAIL", None)
 os.environ.pop("MBEXWN_PALLAS_WN", None)
 os.environ.pop("MBEXWN_PALLAS", None)
+os.environ.pop("MBEXWN_WN_QUANT", None)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402

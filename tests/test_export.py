@@ -64,3 +64,33 @@ def test_export_rejects_garbage():
 
     with pytest.raises(ValueError):
         load_exported(b"not an artifact")
+
+
+def test_export_int8_serving_artifact(small_model_dir, monkeypatch):
+    """MBEXWN_WN_QUANT=int8 at export time bakes the quantized stack into the
+    StableHLO artifact: the artifact matches a direct int8-mode infer exactly
+    and differs from the fp program."""
+    from mbexwn_vocoder_tpu.compat.export import export_synthesis, load_exported
+
+    d, model, params = small_model_dir
+    mel = np.random.RandomState(2).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
+
+    y_fp = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=2400))
+    monkeypatch.setenv("MBEXWN_WN_QUANT", "int8")
+    blob = export_synthesis(model, params, T_mel=8, batch_size=1)
+    call, _ = load_exported(blob)
+    y_aot = np.asarray(call(mel))
+    y_q = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=2400))
+    monkeypatch.delenv("MBEXWN_WN_QUANT")
+
+    # dynamic quantization is not bit-stable across compilations: the AOT
+    # program's fp fusion differences can flip a value sitting on a rounding
+    # tie into the neighboring int8 bin (~1% of elements, one quant step
+    # each), so the contract is statistical: the artifact is an int8 program
+    # (far from fp), and it matches the jit int8 path to well under the
+    # quantization noise floor
+    def rel_rms(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2) / (np.mean(b**2) + 1e-12)))
+
+    assert rel_rms(y_aot, y_q) < 1e-2
+    assert rel_rms(y_aot, y_q) < 0.1 * rel_rms(y_aot, y_fp)

@@ -66,7 +66,21 @@ def main():
         res, skip = jnp.split(rs, 2, axis=-1)
         return x + res, skip
 
-    layer_fns = {"conv": gated_layer_conv, "matmul": gated_layer_matmul}
+    def gated_layer_int8(x, w_dil, w_rs, d):
+        # the shipped int8 serving path (ops/quant.py, MBEXWN_WN_QUANT=int8):
+        # dynamic per-tensor activation quant + per-cout weight quant,
+        # int8 matmuls with int32 accumulation
+        from mbexwn_vocoder_tpu.ops.quant import conv1x1_int8, dilated_conv1d_k3_int8
+
+        y = dilated_conv1d_k3_int8(x, w_dil, None, dilation=d).astype(x.dtype)
+        a, b = jnp.split(y, 2, axis=-1)
+        g = jnp.tanh(a) * jax.nn.sigmoid(b)
+        rs = conv1x1_int8(g, w_rs, None).astype(x.dtype)
+        res, skip = jnp.split(rs, 2, axis=-1)
+        return x + res, skip
+
+    layer_fns = {"conv": gated_layer_conv, "matmul": gated_layer_matmul,
+                 "int8": gated_layer_int8}
 
     def stack(fn, x, weights, dils):
         skips = 0.0
