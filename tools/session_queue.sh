@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# Run the queued single-tenant TPU measurements after a training run
+# completes.  Pure bash supervisor (never imports jax), safe to keep running
+# while the trainer owns the device: it only launches python once the
+# trainer's done marker appears (or the trainer is gone), and runs each step
+# sequentially with a cool-down between processes (this relay is
+# single-tenant; see CLAUDE.md / PERFORMANCE.md methodology).
+#
+# Usage: session_queue.sh <train_log> <run_dir> <model_id> <eval_dir>
+# Example:
+#   nohup tools/session_queue.sh .runs/sing_xl.log .runs/sing_xl SING \
+#     .data/sing_eval > .runs/queue.log 2>&1 &
+set -u
+TRAIN_LOG=$1; RUN_DIR=$2; MODEL=$3; EVAL_DIR=$4
+DONE_MARKER="exported inference model to"
+COOLDOWN_S=${COOLDOWN_S:-100}
+QDIR=${QDIR:-.runs/queue}
+mkdir -p "$QDIR"
+
+say() { echo "[queue $(date -u +%H:%M:%S)] $*" >&2; }
+
+# 1. wait for the trainer to finish (marker in log).  If the trainer dies
+#    without the marker (round end / relay), stop: a partial run is exported
+#    by hand via tools/export_from_checkpoint.py.
+say "waiting for done marker in $TRAIN_LOG"
+while ! grep -q "$DONE_MARKER" "$TRAIN_LOG" 2>/dev/null; do
+    sleep 60
+done
+say "trainer done; cooling down ${COOLDOWN_S}s"
+sleep "$COOLDOWN_S"
+
+run_step() {  # run_step <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    say "step $name: $*"
+    timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
+    local rc=$?
+    say "step $name exit $rc"
+    sleep "$COOLDOWN_S"
+    return 0
+}
+
+# 2. quality eval + publish the fresh checkpoint
+run_step quality_eval 2700 python tools/quality_eval.py --model "$RUN_DIR" \
+    --eval_dir "$EVAL_DIR" --out "$RUN_DIR/quality_report.json"
+if [ -s "$RUN_DIR/quality_report.json" ]; then
+    run_step publish 600 python tools/publish_model.py --run "$RUN_DIR" \
+        --report "$RUN_DIR/quality_report.json"
+fi
+
+# 3. per-stage profile: default vs fused F0 tail vs int8 WaveNet serving
+run_step profile_default 2700 python tools/profile_stages.py --iters 8
+run_step profile_fused_tail 2700 env MBEXWN_FUSED_TAIL=1 python tools/profile_stages.py --iters 8
+run_step profile_int8 2700 env MBEXWN_WN_QUANT=int8 python tools/profile_stages.py --iters 8
+
+# 4. batch-1 serving: blocking vs pipelined
+run_step bench_serving 2700 python tools/bench_serving.py --n 16 --frames 400
+
+# 5. refresh the driver bench cache (cold .jax_cache already warmed by now)
+run_step bench_full 3600 python bench.py
+
+say "queue complete"
