@@ -10,10 +10,13 @@
 # Example:
 #   nohup tools/session_queue.sh .runs/sing_xl.log .runs/sing_xl SING \
 #     .data/sing_eval > .runs/queue.log 2>&1 &
+# PROFILES=0 skips the model-independent profile/bench steps (for a second
+# queue chained behind another training run).
 set -u
 TRAIN_LOG=$1; RUN_DIR=$2; MODEL=$3; EVAL_DIR=$4
 DONE_MARKER="exported inference model to"
 COOLDOWN_S=${COOLDOWN_S:-100}
+PROFILES=${PROFILES:-1}
 QDIR=${QDIR:-.runs/queue}
 mkdir -p "$QDIR"
 
@@ -47,15 +50,17 @@ if [ -s "$RUN_DIR/quality_report.json" ]; then
         --report "$RUN_DIR/quality_report.json"
 fi
 
-# 3. per-stage profile: default vs fused F0 tail vs int8 WaveNet serving
-run_step profile_default 2700 python tools/profile_stages.py --iters 8
-run_step profile_fused_tail 2700 env MBEXWN_FUSED_TAIL=1 python tools/profile_stages.py --iters 8
-run_step profile_int8 2700 env MBEXWN_WN_QUANT=int8 python tools/profile_stages.py --iters 8
+if [ "$PROFILES" = "1" ]; then
+    # 3. per-stage profile: default vs fused F0 tail vs int8 WaveNet serving
+    run_step profile_default 2700 python tools/profile_stages.py --iters 8
+    run_step profile_fused_tail 2700 env MBEXWN_FUSED_TAIL=1 python tools/profile_stages.py --iters 8
+    run_step profile_int8 2700 env MBEXWN_WN_QUANT=int8 python tools/profile_stages.py --iters 8
 
-# 4. batch-1 serving: blocking vs pipelined
-run_step bench_serving 2700 python tools/bench_serving.py --n 16 --frames 400
+    # 4. batch-1 serving: blocking vs pipelined
+    run_step bench_serving 2700 python tools/bench_serving.py --n 16 --frames 400
 
-# 5. refresh the driver bench cache (cold .jax_cache already warmed by now)
-run_step bench_full 3600 python bench.py
+    # 5. refresh the driver bench cache (cold .jax_cache already warmed by now)
+    run_step bench_full 3600 python bench.py
+fi
 
 say "queue complete"
