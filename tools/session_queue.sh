@@ -56,6 +56,14 @@ if [ "$PROFILES" = "1" ]; then
     run_step profile_fused_tail 2700 env MBEXWN_FUSED_TAIL=1 python tools/profile_stages.py --iters 8
     run_step profile_int8 2700 env MBEXWN_WN_QUANT=int8 python tools/profile_stages.py --iters 8
 
+    # 3b. int8 quality cost on the SHIPPED registry checkpoint: same model +
+    # eval set, default vs MBEXWN_WN_QUANT=int8 (the delta is the number
+    # ops/quant.py's docstring promises in PERFORMANCE.md)
+    run_step quality_registry_default 2700 python tools/quality_eval.py \
+        --model SPEECH --eval_dir .data/synth_eval --out "$QDIR/quality_registry_default.json"
+    run_step quality_registry_int8 2700 env MBEXWN_WN_QUANT=int8 python tools/quality_eval.py \
+        --model SPEECH --eval_dir .data/synth_eval --out "$QDIR/quality_registry_int8.json"
+
     # 4. batch-1 serving: blocking vs pipelined
     run_step bench_serving 2700 python tools/bench_serving.py --n 16 --frames 400
 
