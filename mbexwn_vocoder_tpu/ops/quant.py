@@ -6,6 +6,16 @@ the XLA conv path within 4% of each other), so at a fixed model shape the
 only remaining per-chip throughput lever is operand width: the TPU MXU
 executes int8 x int8 -> int32 at twice its bf16 rate.
 
+MEASURED OUTCOME (2026-08-18, v5e, flagship B=32): a negative result on
+this toolchain — 79.8 ms int8 vs 58.8 ms bf16 for the stack (616x vs 816x
+RT full step), +0.27 dB held-out mel-L1.  The per-sample dynamic
+quantization (abs-max reduction + round/clip on the live (B,T,960) tap
+tensors) is HBM-bound elementwise traffic XLA cannot fuse into the s8 dot,
+and it costs more than the 2x MXU rate recovers.  The mode stays opt-in
+experimental; static calibrated activation scales would be the credible
+next step (delete the dynamic passes).  Numbers in PERFORMANCE.md
+"int8 serving mode".
+
 Scheme (standard dynamic post-training quantization):
 - weights: symmetric per-output-channel int8 (scale = absmax / 127),
   quantized from the folded weight-norm kernel at trace time (XLA
