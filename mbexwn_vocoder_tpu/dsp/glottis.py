@@ -10,7 +10,11 @@ with te = oq, tp = am*oq, and the two implicit constraints
   (a) eps*ta = 1 - e^{-eps (1-te)}           (return phase reaches ~0 at t=1)
   (b) integral_0^1 E(t) dt = 0               (flow returns to baseline)
 
-solved for epar := eps*ta and alpha by Brent root finding.
+solved for the products epar := eps*ta and alpha by Brent root finding.
+The spectrum is assembled from the analytic Fourier integrals of the two
+phases, derived independently here (the opening phase is the integral of a
+damped sinusoid, the return phase that of a shifted exponential / line
+segment; both integrals are standard closed forms).
 
 Behavioural parity target (same parameter conventions, degenerate-case
 thresholds and w->0 / eps->0 limits):
@@ -20,12 +24,27 @@ Used only at model-init time (wavetable construction), pure NumPy/SciPy.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import scipy.optimize as sopt
 
 
-def _exp_imag(x):
+def _cis(x):
+    """e^{i x} evaluated without forming a complex exponent."""
     return np.cos(x) + 1j * np.sin(x)
+
+
+def _check_shape_params(oq: float, am: float, ta: float, am_open: bool = False) -> None:
+    # am_open: the closed-form spectrum is singular at am=0.5 exactly
+    # (sin(wg*te) = sin(pi/am * am) -> 0), so the spectrum path excludes it
+    tiny = np.finfo(np.float64).eps
+    if oq <= tiny or oq >= 1 - tiny:
+        raise ValueError(f"LF open quotient oq={oq:g} must lie strictly inside (0, 1)")
+    if (am <= 0.5 if am_open else am < 0.5) or am >= 1 - tiny:
+        raise ValueError(f"LF shape coefficient am={am:g} must lie in [0.5, 1)")
+    if ta < 0 or ta > (1 - oq):
+        raise ValueError(f"LF return-phase duration ta={ta:g} must lie in [0, 1-oq]")
 
 
 def lf_synth_params(oq: float, am: float, ta: float):
@@ -36,38 +55,31 @@ def lf_synth_params(oq: float, am: float, ta: float):
     nearly the whole closed phase), with the same branch thresholds as the
     reference solver (FglotLFsynthparams.py:119-133).
     """
-    realization = oq + am + ta
-    eps_f = np.finfo(type(realization)).eps if isinstance(realization, float) else np.finfo(np.float64).eps
-    if oq <= eps_f or oq >= 1 - eps_f:
-        raise RuntimeError("open quotient out of range")
-    if am < 0.5 or am >= 1 - eps_f:
-        raise RuntimeError("asymmetry is out of range")
-    if ta < 0 or ta > (1 - oq):
-        raise RuntimeError("return phase length(ta) is out of range")
+    _check_shape_params(oq, am, ta)
 
     te = oq
     wg = np.pi / (oq * am)
     cos_wgte = np.cos(wg * te)
     sin_wgte = np.sin(wg * te)
 
-    def _solve_alpha(eq_alpha):
+    def _bracketed_root(resid):
         # expand a symmetric bracket until the sign changes, then Brent-solve
-        alphal, alphar = 0.0, 0.1
-        v0 = eq_alpha(0.0)
-        if np.abs(v0) > np.finfo(np.float64).eps:
-            while (v0 * eq_alpha(alphar) > 0) and (v0 * eq_alpha(-alphar) > 0):
-                alphal = alphar
-                alphar += 1.0
-            if eq_alpha(-alphar) * v0 < 0:
-                alphal, alphar = -alphal, -alphar
+        lo, hi = 0.0, 0.1
+        at_zero = resid(0.0)
+        if np.abs(at_zero) > np.finfo(np.float64).eps:
+            while (at_zero * resid(hi) > 0) and (at_zero * resid(-hi) > 0):
+                lo = hi
+                hi += 1.0
+            if resid(-hi) * at_zero < 0:
+                lo, hi = -lo, -hi
         else:
-            alphal, alphar = -0.1, 0.1
-        return sopt.brentq(eq_alpha, alphal, alphar)
+            lo, hi = -0.1, 0.1
+        return sopt.brentq(resid, lo, hi)
 
     if ta <= np.finfo(np.float32).eps:
         # abrupt closure: zero-area condition reduces to
         # e^{alpha te}(wg cos(wg te) - alpha sin(wg te)) = wg
-        alpha = _solve_alpha(lambda a: np.exp(a * oq) * (wg * cos_wgte - a * sin_wgte) - wg)
+        alpha = _bracketed_root(lambda a: np.exp(a * oq) * (wg * cos_wgte - a * sin_wgte) - wg)
         return alpha, 0.0, 0.0
 
     if oq > 0.999:
@@ -82,25 +94,116 @@ def lf_synth_params(oq: float, am: float, ta: float):
     else:
         # solve epar = 1 - e^{epar (te-1)/ta}; the bracket starts at the
         # stationary point of the residual, epar_min = -ln(-(te-1)/ta)/((te-1)/ta)
-        te_m_1_d_ta = (te - 1) / ta
-        eleft = -np.log(-te_m_1_d_ta) / te_m_1_d_ta
-        epar = sopt.brentq(lambda e: e - 1 + np.exp(e * te_m_1_d_ta), eleft, 1.1)
+        slope = (te - 1) / ta
+        bracket_lo = -np.log(-slope) / slope
+        epar = sopt.brentq(lambda e: e - 1 + np.exp(e * slope), bracket_lo, 1.1)
 
-    # area of the return phase: E2I = integral_{te}^{1} E2 dt (shifted form)
+    # area under the return phase, integral_{te}^{1} E2(t) dt (shifted form)
     if epar == 0:
-        E2I = -ta / 2
+        ret_area = -ta / 2
     else:
-        ex = np.exp(epar / ta * (te - 1))
-        E2I = (-ex * (ta + epar - te * epar) + ta) / (epar * (-1 + ex))
+        end_decay = np.exp(epar / ta * (te - 1))
+        ret_area = (-end_decay * (ta + epar - te * epar) + ta) / (epar * (-1 + end_decay))
 
     # zero-net-area condition for alpha given the return-phase area
-    wgh2 = wg**2
+    wg_sq = wg**2
 
-    def eq_alpha(a):
-        return -(-wg * cos_wgte + a * sin_wgte + wg * np.exp(-a * te)) / (a**2 + wgh2) / sin_wgte + E2I
+    def _area_resid(a):
+        return -(-wg * cos_wgte + a * sin_wgte + wg * np.exp(-a * te)) / (a**2 + wg_sq) / sin_wgte + ret_area
 
-    alpha = _solve_alpha(eq_alpha)
+    alpha = _bracketed_root(_area_resid)
     return alpha, epar, ta
+
+
+class LFSpectrum(NamedTuple):
+    """Closed-form LF spectrum split by phase, plus the resolved parameters.
+
+    Tuple-compatible with the historical 6-tuple return
+    (spec, open_phase, return_phase, alpha, epar, ta).
+    """
+
+    spec: np.ndarray
+    open_phase: np.ndarray
+    return_phase: np.ndarray
+    alpha: float
+    epar: float
+    ta: float
+
+
+def _open_phase_spectrum(w, alpha, wg, te, Ee, dtype):
+    """Fourier integral of the opening phase E0 e^{alpha t} sin(wg t), 0..te.
+
+    Writing sin as complex exponentials gives two geometric-type integrals;
+    the scale is fixed by E(te) = -Ee.
+    """
+    # half of the L-model amplitude E0 = -Ee / (e^{alpha te} sin(wg te))
+    half_amp = dtype(-0.5 * Ee / (np.exp(alpha * te) * np.sin(wg * te)))
+    # its value propagated to t = te (computed in log space to share the exp)
+    endpoint = dtype(np.exp(alpha * te + np.log(half_amp)))
+
+    # guard the removable singularity when alpha ~ 0 and some w hits wg exactly
+    tiny = np.finfo(dtype).eps
+    denom_nudge = tiny if (np.abs(alpha) < tiny and np.min(np.abs(w - wg)) < tiny) else 0.0
+
+    return (endpoint * _cis(te * (wg - w)) - half_amp) / (1j * alpha + (w - wg + denom_nudge)) - (
+        endpoint * _cis(-te * (w + wg)) - half_amp
+    ) / (1j * alpha + (w + wg))
+
+
+def _return_phase_spectrum(w, epar, ta, te, Ee, dtype):
+    """Fourier integral of the return phase over [te, te+ta] (epar>0: shifted
+    exponential decay; epar==0: straight line from -Ee to 0)."""
+    nz = np.flatnonzero(w > np.finfo(w.dtype).eps)
+    if epar > 0:
+        end_decay = np.exp(epar * (te - 1) / ta)
+        phase_te = _cis(-te * w)
+        # (e^{-i te w} - e^{-i w}) / w, continued at w=0 by its l'Hopital
+        # limit -i(te-1) so the DC bin stays analytically exact
+        diff_ratio = np.ones(w.shape, dtype=dtype) * (-1j * (te - 1))
+        diff_ratio[nz] = (phase_te[nz] - _cis(-w[nz])) / w[nz]
+        return ((Ee * ta * (1 - end_decay)) * phase_te + (1j * Ee * epar * end_decay) * diff_ratio) / (
+            w * (1j * ta * (end_decay - 1)) + epar * (end_decay - 1)
+        )
+    # epar == 0: Fourier integral of (t-ta)/ta e^{-iwt} over [0, ta] (w=0
+    # limit -ta/2), then delayed to start at t = te
+    line_spec = Ee * ta * 0.5 * np.ones(w.shape, dtype=dtype) + ta * 0j
+    line_spec[nz] = Ee * (1j * ta * w[nz] - 1 + np.exp(-1j * w[nz] * ta)) / (ta * w[nz] ** 2)
+    return line_spec * np.exp(-1j * te * w)
+
+
+def _flow_dc_value(alpha, epar, ta, te, wg, Ee):
+    """DC bin of the integrated flow: time-domain integrals of t*E(t) terms,
+    evaluated analytically for both phases."""
+    amp = -Ee / (np.exp(alpha * te) * np.sin(wg * te))
+    dc_open = (
+        amp
+        * (
+            -2 * alpha * np.exp(alpha * te) * wg * np.cos(wg * te)
+            + alpha**2 * np.exp(alpha * te) * np.sin(wg * te)
+            - wg**2 * np.exp(alpha * te) * np.sin(wg * te)
+            + wg * te * alpha**2
+            + wg**3 * te
+            + 2 * alpha * wg
+        )
+        / (alpha**2 + wg**2) ** 2
+    )
+    if ta > 0:
+        eps_rate = epar / ta
+        decay = np.exp(eps_rate * (-1 + te))
+        dc_ret = (
+            -0.5
+            * Ee
+            * ta**2
+            * (
+                decay
+                * (2 + eps_rate**2 + 2 * eps_rate + (eps_rate * te) ** 2 - 2 * eps_rate * te - 2 * eps_rate**2 * te)
+                - 2
+            )
+            / (epar**3)
+        )
+    else:
+        dc_ret = 0
+    return dc_open + dc_ret
 
 
 def lf_pulse_spectrum(
@@ -115,21 +218,18 @@ def lf_pulse_spectrum(
     get_derivative=True,
     dtype=np.float64,
 ):
-    """Closed-form spectrum of the LF glottal-flow derivative (or flow).
+    """Closed-form spectrum of the LF glottal-flow derivative (or the flow).
 
     f is the frequency axis normalized by the fundamental (harmonic k at
-    value k).  Returns (spec, spec_open, spec_return, alpha, epar, ta) like
-    the reference (FglotspecLF.py:15-216).
+    value k).  Pass alpha/epar to skip the implicit solve (alpha<=0 solves
+    them from oq/am/ta).  orig shifts the pulse in time via a spectral delay.
+
+    Returns an LFSpectrum (a NamedTuple, index-compatible with the reference
+    6-tuple, FglotspecLF.py:15-216).
     """
-    eps64 = np.finfo(np.float64).eps
-    if oq <= eps64 or oq >= (1 - eps64):
-        raise RuntimeError(f"open quotient {oq:f} out of range")
-    if am <= 0.5 or am >= (1 - eps64):
-        raise RuntimeError(f"asymetry {am:f} is out of range")
-    if ta < 0 or ta > (1 - oq):
-        raise RuntimeError(f"return phase length(ta) {ta:f} is out of range")
+    _check_shape_params(oq, am, ta, am_open=True)
     if ta > 0 and alpha > 0 and epar < 0:
-        raise RuntimeError("if ta>0 and alpha is given, epar has to be present too")
+        raise ValueError("alpha was given without epar; both are required when ta > 0")
 
     te = dtype(oq)
     wg = dtype(np.pi / (oq * am))
@@ -141,92 +241,27 @@ def lf_pulse_spectrum(
 
     w = (np.asarray(f) * 2 * np.pi).astype(dtype, copy=False)
 
-    # opening phase: analytic Fourier integral of E0 e^{alpha t} sin(wg t)
-    E0_2 = dtype(-0.5 * Ee / (np.exp(alpha * te) * np.sin(wg * te)))
-    logE0_2 = np.log(E0_2)
-    expalphatel = dtype(np.exp(alpha * te + logE0_2))
-
-    # guard the removable singularity when alpha ~ 0 and w hits wg exactly
-    epsd = np.finfo(dtype).eps
-    wg_eps = epsd if (np.abs(alpha) < epsd and np.min(np.abs(w - wg)) < epsd) else 0.0
-
-    spec1 = (expalphatel * _exp_imag(te * (wg - w)) - E0_2) / (1j * alpha + (w - wg + wg_eps)) - (
-        expalphatel * _exp_imag(-te * (w + wg)) - E0_2
-    ) / (1j * alpha + (w + wg))
-
-    spec = spec1
-
-    # return phase
+    open_spec = _open_phase_spectrum(w, alpha, wg, te, Ee, dtype)
     if ta == 0:
-        spec2 = dtype(0)
+        ret_spec = dtype(0)
+        spec = open_spec
     else:
-        bb = np.flatnonzero(w > np.finfo(w.dtype).eps)
-        if epar > 0:
-            expte1ta = np.exp(epar * (te - 1) / ta)
-            hh = np.ones(w.shape, dtype=dtype) * (-1j * (te - 1))
-            Efte = _exp_imag(-te * w)
-            # l'Hopital limit at w->0 kept via the hh initialisation above
-            hh[bb] = (Efte[bb] - _exp_imag(-w[bb])) / w[bb]
-            spec2 = ((Ee * ta * (1 - expte1ta)) * Efte + (1j * Ee * epar * expte1ta) * hh) / (
-                w * (1j * ta * (expte1ta - 1)) + epar * (expte1ta - 1)
-            )
-        else:
-            # epar == 0: linear return segment from -Ee to 0 over [oq, oq+ta];
-            # Fourier integral of (t-ta)/ta e^{-iwt} with w=0 limit -ta/2,
-            # shifted to start at t=oq
-            spec2 = Ee * ta * 0.5 * np.ones(w.shape, dtype=dtype) + ta * 0j
-            spec2[bb] = Ee * (1j * ta * w[bb] - 1 + np.exp(-1j * w[bb] * ta)) / (ta * w[bb] ** 2)
-            spec2 *= np.exp(-1j * oq * w)
-        spec = spec + spec2
+        ret_spec = _return_phase_spectrum(w, epar, ta, te, Ee, dtype)
+        spec = open_spec + ret_spec
 
     if get_derivative:
         if w[0] == 0:
             spec[0] = 0
     else:
-        # integrate: flow = derivative / (iw), with the DC value computed
-        # analytically from the time-domain integrals of both phases
+        # integrate: flow = derivative / (iw); the DC value comes from the
+        # analytic time-domain integrals instead
         if w[0] != 0:
             spec = spec / (1j * w)
         else:
             spec[1:] = spec[1:] / (1j * w[1:])
-            E0 = -Ee / (np.exp(alpha * oq) * np.sin(wg * oq))
-            openingside = (
-                E0
-                * (
-                    -2 * alpha * np.exp(alpha * te) * wg * np.cos(wg * te)
-                    + alpha**2 * np.exp(alpha * te) * np.sin(wg * te)
-                    - wg**2 * np.exp(alpha * te) * np.sin(wg * te)
-                    + wg * te * alpha**2
-                    + wg**3 * te
-                    + 2 * alpha * wg
-                )
-                / (alpha**2 + wg**2) ** 2
-            )
-            if ta > 0:
-                epsilon = epar / ta
-                expete = np.exp(epsilon * (-1 + te))
-                closingside = (
-                    -1
-                    / 2
-                    * Ee
-                    * ta**2
-                    * (
-                        expete
-                        * (2 + epsilon**2 + 2 * epsilon + (epsilon * te) ** 2 - 2 * epsilon * te - 2 * epsilon**2 * te)
-                        - 2
-                    )
-                    / (epar**3)
-                )
-            else:
-                closingside = 0
-            spec[0] = openingside + closingside
+            spec[0] = _flow_dc_value(alpha, epar, ta, te, wg, Ee)
 
     if abs(orig) > 0:
-        spec = spec * _exp_imag(w * dtype(orig))
+        spec = spec * _cis(w * dtype(orig))
 
-    return spec, spec1, spec2, alpha, epar, ta
-
-
-# compatibility aliases mirroring the reference public names
-FglotspecLF = lf_pulse_spectrum
-FglotLFsynthparams = lf_synth_params
+    return LFSpectrum(spec, open_spec, ret_spec, alpha, epar, ta)

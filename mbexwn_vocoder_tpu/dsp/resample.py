@@ -1,8 +1,8 @@
-"""Polyphase FIR resampling with Kaiser-designed anti-aliasing filter.
+"""Polyphase FIR resampling with a Kaiser-designed anti-aliasing low-pass.
 
-reference: MBExWN_NVoc/sig_proc/resample.py:7-64 (same Kaiser design rule,
-same radius cap / stop-band back-off loop).  Host-side utility used by the
-CLI frontends and wavetable initialisation.
+Host-side utility used by the CLI frontends, the data pipeline and wavetable
+initialisation.  Behavioural parity target (same Kaiser design rule and
+tap-budget back-off): MBExWN_NVoc/sig_proc/resample.py:7-64.
 """
 from __future__ import annotations
 
@@ -10,6 +10,10 @@ import math
 
 import numpy as np
 import scipy.signal as ss
+
+# longest anti-aliasing filter we are willing to design before trading
+# stop-band attenuation for length (one back-off step = -6 dB)
+_MAX_AA_TAPS = 8000
 
 
 def kaiser_beta_for_attenuation(stop_att: float) -> float:
@@ -21,33 +25,42 @@ def kaiser_beta_for_attenuation(stop_att: float) -> float:
     return 0.0
 
 
-def resample(x, in_sr, out_sr, stop_att=70, axis=0, trans_width_normed=0.1, fir_filt=None):
-    """Resample x from in_sr to out_sr; returns (resampled, fir_filter)."""
-    in_sr = int(in_sr)
-    out_sr = int(out_sr)
-    gcd = math.gcd(in_sr, out_sr)
-    up = out_sr // gcd
-    down = in_sr // gcd
+def kaiser_fir_length(stop_att_db: float, trans_width_rad: float):
+    """Kaiser FIR sizing: (half_length, beta, achieved_att_db).
+
+    Applies the standard length estimate N ~ (A-8)/(2.285*dw) and, when the
+    resulting filter would exceed the tap budget, trades attenuation for
+    length in 6 dB steps (re-deriving beta each step).
+    """
+    att = stop_att_db
+    while True:
+        half_len = int(np.ceil((att - 8.0) / 2.285 / trans_width_rad / 2))
+        if 2 * half_len > _MAX_AA_TAPS and att > 10:
+            att -= 6
+        else:
+            break
+    return half_len, kaiser_beta_for_attenuation(att), att
+
+
+def resample(x, sr_in, sr_out, stop_att=70, axis=0, trans_width_normed=0.1, fir_filt=None):
+    """Rational-rate resampling of x from sr_in to sr_out Hz.
+
+    The anti-aliasing filter is designed on first use and returned so callers
+    resampling many signals at the same rate pair can reuse it via fir_filt.
+    Returns (resampled_signal, fir_filter).
+    """
+    sr_in = int(sr_in)
+    sr_out = int(sr_out)
+    common = math.gcd(sr_in, sr_out)
+    up, down = sr_out // common, sr_in // common
 
     if fir_filt is None:
-        m_beta = kaiser_beta_for_attenuation(stop_att)
-        m_trans_width = 2 * np.pi * np.fmin(1.0, out_sr / in_sr) * trans_width_normed
-
-        # cap the filter radius; if it would exceed 8000 taps, trade stop-band
-        # attenuation for length (same rule as the reference)
-        while True:
-            m_radius = int(np.ceil((stop_att - 8.0) / 2.285 / m_trans_width / 2))
-            if (2 * m_radius > 8000) and stop_att > 10:
-                stop_att -= 6
-                m_beta = kaiser_beta_for_attenuation(stop_att)
-            else:
-                break
-
-        winlen = m_radius * 2 + 1
-        filt_dtype = x.dtype if x.dtype == np.float32 else np.float64
+        # transition width in rad/sample at the lower of the two rates
+        trans_width_rad = 2 * np.pi * min(1.0, sr_out / sr_in) * trans_width_normed
+        half_len, beta, _ = kaiser_fir_length(stop_att, trans_width_rad)
         fir_filt = ss.firwin(
-            winlen * up,
+            (half_len * 2 + 1) * up,
             cutoff=(1 - trans_width_normed) / max(up, down),
-            window=("kaiser", m_beta),
-        ).astype(filt_dtype, copy=False)
+            window=("kaiser", beta),
+        ).astype(x.dtype if x.dtype == np.float32 else np.float64, copy=False)
     return ss.resample_poly(x, up, down, axis=axis, window=fir_filt), fir_filt

@@ -15,29 +15,24 @@ import numpy as np
 import scipy.signal as ss
 
 from .glottis import lf_pulse_spectrum
-from .resample import kaiser_beta_for_attenuation
+from .resample import kaiser_fir_length
 
 
 def pulse_lowpass_kaiser(pass_band_edge, stop_att_db=70, trans_width_normed=0.1):
     """Kaiser FIR low-pass whose first spectral zero sits at pass_band_edge.
 
-    Frequencies are normalized to the sample rate (Nyquist = 0.5).
-    reference: tf_wavetable.py:37-80
+    Frequencies are normalized to the sample rate (Nyquist = 0.5); the sizing
+    rule (incl. the tap-budget back-off) is shared with dsp/resample.py.
+    Behavioural parity target: tf_wavetable.py:37-80.
     """
-    m_beta = kaiser_beta_for_attenuation(stop_att_db)
-    m_trans_width = 2 * np.pi * trans_width_normed
-    cut_off = [pass_band_edge - 0.5 * trans_width_normed]
-
-    while True:
-        m_radius = int(np.ceil((stop_att_db - 8.0) / 2.285 / m_trans_width / 2))
-        if (2 * m_radius > 8000) and stop_att_db > 10:
-            stop_att_db -= 6
-            m_beta = kaiser_beta_for_attenuation(stop_att_db)
-        else:
-            break
-
-    winlen = m_radius * 2 + 1
-    return ss.firwin(winlen, cutoff=cut_off, window=("kaiser", m_beta), pass_zero=True, fs=1.0)
+    half_len, beta, _ = kaiser_fir_length(stop_att_db, 2 * np.pi * trans_width_normed)
+    return ss.firwin(
+        half_len * 2 + 1,
+        cutoff=[pass_band_edge - 0.5 * trans_width_normed],
+        window=("kaiser", beta),
+        pass_zero=True,
+        fs=1.0,
+    )
 
 
 def min_phase_spectrum(log_magnitude: np.ndarray) -> np.ndarray:
