@@ -47,11 +47,19 @@ def _mod1_sum(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
 
 class StreamingSynthesizer:
     def __init__(self, model, params, chunk_frames: int = 256, halo_frames: int = 40, use_jit: bool = True,
-                 mesh=None):
+                 mesh=None, halo_right: Optional[int] = None):
+        """halo_right: lookahead halo in mel frames (defaults to halo_frames).
+
+        With a force_causal model the convolutional receptive field only
+        extends into the past, so halo_right can drop to the tiny lookahead
+        the conditioning interpolation needs (1-2 frames) -- the algorithmic
+        latency of live synthesis becomes (chunk_frames + halo_right) mel
+        frames instead of (chunk_frames + halo_frames)."""
         self.model = model
         self.params = params
         self.chunk_frames = chunk_frames
         self.halo_frames = halo_frames
+        self.halo_right = halo_frames if halo_right is None else halo_right
         self.use_jit = use_jit
         # sequence parallelism: with a mesh, the chunk batch of synth_batched
         # shards over the 'data' axis (chunks are independent given their
@@ -136,9 +144,9 @@ class StreamingSynthesizer:
         key = ("scan", n_chunks, B)
         if key not in self._jitted:
             model = self.model
-            c, h = self.chunk_frames, self.halo_frames
+            c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
             stp, hop = self.stp, self.hop
-            span = c + 2 * h
+            span = c + h + hr
             pulse_rate = self.pulse_rate
 
             def fn(params, mell, mel_halo):
@@ -158,7 +166,7 @@ class StreamingSynthesizer:
                 blocks = vel.reshape(B, n_chunks, c, stp)  # per-frame inner sums stay < 1 cycle-ish
                 inc = jnp.sum(jnp.sum(blocks, axis=3) % 1.0, axis=2) % 1.0  # (B, n_chunks)
                 starts = jnp.pad(jnp.cumsum(inc, axis=1) % 1.0, ((0, 0), (1, 0)))[:, :-1]
-                f0_haloed = jnp.pad(f0_full, ((0, 0), (h * stp, h * stp)), mode="edge")
+                f0_haloed = jnp.pad(f0_full, ((0, 0), (h * stp, hr * stp)), mode="edge")
 
                 def body(_, xs):
                     i, start = xs
@@ -192,12 +200,12 @@ class StreamingSynthesizer:
         output -- property-tested in tests/test_parallel.py).  Works for any
         batch size."""
         B, T, C = mell.shape
-        c, h = self.chunk_frames, self.halo_frames
+        c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
         if T <= c + h:
             y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
             return np.asarray(y)
         n_chunks = -(-T // c)
-        mel_halo = np.pad(mell, ((0, 0), (h, n_chunks * c - T + h), (0, 0)), mode="edge")
+        mel_halo = np.pad(mell, ((0, 0), (h, n_chunks * c - T + hr), (0, 0)), mode="edge")
         y = self._scan_fn(n_chunks, B)(self.params, jnp.asarray(mell), jnp.asarray(mel_halo))
         return np.asarray(y)[:, : T * self.hop]
 
@@ -216,7 +224,7 @@ class StreamingSynthesizer:
         into one device batch of B*n_chunks items.
         """
         B, T, C = mell.shape
-        c, h = self.chunk_frames, self.halo_frames
+        c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
         if T <= c + h:
             y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
             return np.asarray(y)
@@ -226,7 +234,7 @@ class StreamingSynthesizer:
         t0 = 0
         while t0 < T:
             t1 = min(t0 + c, T)
-            lo, hi = max(0, t0 - h), min(T, t1 + h)
+            lo, hi = max(0, t0 - h), min(T, t1 + hr)
             bounds.append((t0, t1, lo, hi))
             t0 = t1
 
@@ -283,7 +291,7 @@ class StreamingSynthesizer:
     def synth(self, mell: np.ndarray) -> np.ndarray:
         """(B, T, C) log-mel -> (B, T*hop) waveform."""
         B, T, C = mell.shape
-        c, h = self.chunk_frames, self.halo_frames
+        c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
         if T <= c + h:
             y = self.model.infer(self.params, jnp.asarray(mell), synth_length=T * self.hop)
             return np.asarray(y)
@@ -295,7 +303,7 @@ class StreamingSynthesizer:
         while t0 < T:
             t1 = min(t0 + c, T)
             lo = max(0, t0 - h)
-            hi = min(T, t1 + h)
+            hi = min(T, t1 + hr)
             span = hi - lo
             left = t0 - lo
             inner = t1 - t0
@@ -308,3 +316,63 @@ class StreamingSynthesizer:
             )
             t0 = t1
         return np.concatenate(outs, axis=1)
+
+    def stream(self, frames_iter):
+        """Live synthesis: consume an iterator of (B, n, C) mel-frame slabs,
+        yield (B, chunk_frames*hop) audio slabs as soon as they are computable.
+
+        A chunk's audio is emitted once `halo_right` frames beyond its end
+        have arrived (plus the retained `halo_frames` of past context), so the
+        end-to-end algorithmic latency is (chunk_frames + halo_right) mel
+        frames.  With a force_causal model and halo_right<=2 that is
+        (chunk_frames+2)*hop samples -- e.g. 12.5 ms per frame at the 24 kHz /
+        hop 300 production rate.  One chunk program shape is compiled for the
+        steady state (plus boundary shapes for the first/last chunks).  After
+        the iterator is exhausted the tail is flushed with the lookahead
+        truncated at the signal end -- the same boundary the one-shot program
+        sees, so stream() output == synth() output chunk for chunk.
+        """
+        c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
+        buf = None  # received-but-not-discarded frames; buf[:, 0] is frame buf_start
+        buf_start = 0
+        t0 = 0  # next chunk starts at this absolute frame
+        carry = None
+
+        def _emit(mel_span, left, inner, carry):
+            fn = self._chunk_fn(mel_span.shape[1], left, inner)
+            audio, f0_interior = fn(self.params, jnp.asarray(mel_span),
+                                    jnp.asarray(carry, dtype=jnp.float32))
+            new_carry = np.mod(
+                carry + np.sum(np.asarray(f0_interior, dtype=np.float64), axis=1) / self.pulse_rate,
+                1.0,
+            )
+            return np.asarray(audio), new_carry
+
+        for slab in frames_iter:
+            slab = np.asarray(slab)
+            if buf is None:
+                buf = slab
+                carry = np.zeros((slab.shape[0],), dtype=np.float64)
+            else:
+                buf = np.concatenate([buf, slab], axis=1)
+            while buf_start + buf.shape[1] >= t0 + c + hr:
+                lo = max(0, t0 - h)
+                span = buf[:, lo - buf_start : t0 + c + hr - buf_start]
+                audio, carry = _emit(span, t0 - lo, c, carry)
+                yield audio
+                t0 += c
+                new_lo = max(0, t0 - h)
+                buf = buf[:, new_lo - buf_start :]
+                buf_start = new_lo
+        if buf is None:
+            return
+        # flush the tail; lookahead truncates at the signal end -- exactly the
+        # boundary the one-shot program sees (synth's last-chunk convention)
+        total = buf_start + buf.shape[1]
+        while t0 < total:
+            inner = min(c, total - t0)
+            lo = max(0, t0 - h)
+            hi = min(total, t0 + inner + hr)
+            audio, carry = _emit(buf[:, lo - buf_start : hi - buf_start], t0 - lo, inner, carry)
+            yield audio
+            t0 += inner

@@ -164,9 +164,22 @@ def low_band_extra_weight_vector(extra_weight, transition, position, length):
 
 
 class SpectLossComponents:
-    """Aggregate spectral losses (wavegen_1d.py:32-318)."""
+    """Aggregate spectral losses (wavegen_1d.py:32-318).
 
-    def __init__(self, training_config: Dict, preprocess_config: Dict, rng_seed: int = 0):
+    train_with_avg / sub_sample_facts (wavegen_1d.py:42-44): when gen_audio
+    carries a variants dimension (B, V, T), train_with_avg==1 strips it to
+    variant 0 (the reference's only live branch, wavegen_1d.py:187-190;
+    its >1 path dies upstream on an undefined syn_spec_list at :200).  Here
+    train_with_avg>1 is implemented as averaging the scaled synthesis spectra
+    over the variants before the error -- the semantics the name describes.
+    sub_sample_facts is accepted for constructor compatibility; the reference
+    never reads it after :43 and neither do we.
+    """
+
+    def __init__(self, training_config: Dict, preprocess_config: Dict, rng_seed: int = 0,
+                 train_with_avg: Optional[int] = None, sub_sample_facts=None):
+        self.train_with_avg = train_with_avg
+        self.sub_sample_facts = sub_sample_facts
         self.preprocess_config = copy.deepcopy(preprocess_config)
         self.training_config = copy.deepcopy(training_config)
         self.sample_rate = preprocess_config["sample_rate"]
@@ -241,11 +254,28 @@ class SpectLossComponents:
             self.mel_loss = MelLoss(self.preprocess_config, ign_attn_db)
 
     def calc_spectral_error(self, ref_audio, gen_audio):
-        """Returns (spect_loss, NPOW_loss) over the multi-resolution bank."""
+        """Returns (spect_loss, NPOW_loss) over the multi-resolution bank.
+
+        gen_audio may be (B, T) or, with the variants capability, (B, V, T)
+        (see class docstring for the train_with_avg semantics)."""
         spect_error = jnp.float32(0.0) if (self.spect_loss_weight is not None) else None
         NPOW_error = jnp.float32(0.0) if self.NPOW_loss_weight else None
         spect_cnt = 0
         NPOW_cnt = 0
+
+        n_variants = None
+        if gen_audio.ndim == 3:
+            if self.train_with_avg is None or self.train_with_avg <= 1:
+                gen_audio = gen_audio[:, 0]  # wavegen_1d.py:187-190
+            else:
+                B, n_variants, T = gen_audio.shape
+                gen_audio = gen_audio.reshape(B * n_variants, T)
+
+        def _unfold_avg(sp):
+            # (B*V, frames, bins) scaled spectrum -> variant-averaged (B, ...)
+            if n_variants is None:
+                return sp
+            return jnp.mean(sp.reshape(-1, n_variants, *sp.shape[1:]), axis=1)
 
         in_specs = self.stft_processor.generate_stft(ref_audio)
         syn_specs = self.stft_processor.generate_stft(gen_audio)
@@ -254,12 +284,14 @@ class SpectLossComponents:
                                                 self.low_band_extra_weight):
             if (self.spect_loss_weight is not None) and (lt & SPECT_LOSS_BIT):
                 ref_sp = self.stft_processor.scale_spec(ref_sp_c)
-                syn_sp = self.stft_processor.scale_spec(syn_sp_c)
+                syn_sp = _unfold_avg(self.stft_processor.scale_spec(syn_sp_c))
                 spect_error = spect_error + jnp.mean(jnp.abs(syn_sp - ref_sp) * lbew)
                 spect_cnt += 1
             if self.NPOW_loss_weight and (lt & NPOW_LOSS_BIT):
                 ref_p = self.stft_processor.scale_spec_man_select(ref_sp_c, magnitude_exponent=1)
-                syn_p = self.stft_processor.scale_spec_man_select(syn_sp_c, magnitude_exponent=1)
+                syn_p = _unfold_avg(
+                    self.stft_processor.scale_spec_man_select(syn_sp_c, magnitude_exponent=1)
+                )
                 NPOW_error = NPOW_error + jnp.mean(
                     jnp.sqrt(jnp.sum(jnp.square(syn_p - ref_p) * lbew, axis=(1, 2)))
                     / jnp.sqrt(jnp.sum(jnp.square(ref_p) * lbew, axis=(1, 2)) + _EPS * _EPS)
@@ -296,7 +328,9 @@ class SpectLossComponents:
         if self.stft_processor is not None:
             spect_loss_n, NPOW_loss_n = self.calc_spectral_error(in_audio, outputs)
         if self.mel_loss is not None:
-            mel_loss_n = self.mel_loss(in_audio, outputs)
+            # the mel path has no variants semantics (the reference's mel
+            # branch cannot consume them either, wavegen_1d.py:289); variant 0
+            mel_loss_n = self.mel_loss(in_audio, outputs[:, 0] if outputs.ndim == 3 else outputs)
         return {"mel_loss": mel_loss_n, "spect_loss": spect_loss_n, "NPOW_loss": NPOW_loss_n}
 
     def total_loss(self, in_audio, outputs, step=0, rng=None):

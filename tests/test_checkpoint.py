@@ -127,3 +127,53 @@ def test_weights_tf_conversion_roundtrip(tmp_path):
     y_ref = ref_model.infer(mel, synth_length=T_mel * 300).numpy()
     rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
     assert rel < 3e-3, rel
+
+
+def test_weights_tf_conversion_skips_legacy_dead_variables(tmp_path):
+    """The reference's published checkpoints carry variables from abandoned
+    training trials that the inference graph never builds (wavegen_1d.py:84-91
+    'present in the checkpoints').  Inject such an extra variable into a saved
+    weights.tf and prove the converter ignores it: conversion succeeds and the
+    converted parameters are identical to the clean-checkpoint conversion."""
+    require_reference()
+    import tensorflow as tf
+    from MBExWN_NVoc.vocoder.model.models import create_model as ref_create_model
+
+    from mbexwn_vocoder_tpu.compat.params_io import load_params
+    from mbexwn_vocoder_tpu.compat.tf_checkpoint import convert_model_dir
+
+    hp_ref = _small_hp()
+    hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+    hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
+    hp_ref["mbexwn_config"].pop("wn_compute_dtype", None)
+    hp_ref["mbexwn_config"].pop("subnet_compute_dtype", None)
+
+    tf.random.set_seed(2)
+    ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
+                                    quiet=True, use_tf25_compatible_implementation=True)
+    ref_model.build_model(variable_time_dim=True)
+
+    clean_dir = str(tmp_path / "clean")
+    dirty_dir = str(tmp_path / "dirty")
+    for d in (clean_dir, dirty_dir):
+        os.makedirs(d)
+        dump_config(os.path.join(d, "config.yaml"), hp_ref)
+    ref_model.save_weights(os.path.join(clean_dir, "weights.tf"))
+
+    # attach a legacy trial variable to the object graph, save, detach: the
+    # dirty checkpoint now holds a variable no freshly-built model will own
+    ref_model.legacy_trial_kernel = tf.Variable(
+        np.random.RandomState(7).randn(3, 5).astype(np.float32), name="legacy_trial_kernel"
+    )
+    ref_model.save_weights(os.path.join(dirty_dir, "weights.tf"))
+    del ref_model.legacy_trial_kernel
+
+    out_clean = convert_model_dir(clean_dir)
+    out_dirty = convert_model_dir(dirty_dir)
+    a = jax.tree_util.tree_leaves_with_path(load_params(out_clean))
+    b = jax.tree_util.tree_leaves_with_path(load_params(out_dirty))
+    assert len(a) == len(b)
+    for (pa, va), (pb, vb) in zip(sorted(a, key=lambda x: str(x[0])),
+                                  sorted(b, key=lambda x: str(x[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

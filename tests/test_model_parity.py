@@ -231,6 +231,47 @@ def test_noise_channel_statistical_parity():
     assert np.max(diff_db) < 2.0, (diff_db.max(), diff_db)
 
 
+def test_force_causal_full_infer_parity():
+    """Causal (streaming/low-latency) mode parity: force_causal=True flips
+    every subnet and WaveNet conv to CAUSAL padding in both implementations
+    (custom_pulsed_generator.py:215-218,474-475); the full synthesis must
+    still match the reference with converted weights."""
+    require_reference()
+    import tensorflow as tf
+    from MBExWN_NVoc.vocoder.model.models import create_model as ref_create_model
+
+    tf.random.set_seed(5)
+    hp = _oracle_hparams()
+    hp["mbexwn_config"]["force_causal"] = True
+    hp_ref = copy.deepcopy(hp)
+    hp_ref["mbexwn_config"]["wavetable_config"]["trainable"] = False
+    hp_ref["mbexwn_config"].pop("remat_wavenet_blocks", None)
+    hp_ref["mbexwn_config"].pop("wn_compute_dtype", None)
+    hp_ref["mbexwn_config"].pop("subnet_compute_dtype", None)
+
+    ref_model, _ = ref_create_model(hp_ref, hp_ref["training_config"], hp_ref["preprocess_config"],
+                                    quiet=True, use_tf25_compatible_implementation=True)
+    ref_model.build_model(variable_time_dim=True)
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    params = pan_wavenet_params(ref_model, model, jnp)
+
+    rng = np.random.RandomState(9)
+    T_mel = 12
+    hop = hp["preprocess_config"]["hop_size"]
+    mel = (rng.randn(1, T_mel, 80) * 0.5 - 4.0).astype(np.float32)
+
+    f0_ref = ref_model.block.generate_f0(mel).numpy()
+    f0 = np.asarray(model.block.generate_f0(params, jnp.asarray(mel)))
+    np.testing.assert_allclose(f0, f0_ref, rtol=1e-4, atol=1e-3)
+
+    y_ref = ref_model.infer(mel, synth_length=T_mel * hop).numpy()
+    y = np.asarray(model.infer(params, jnp.asarray(mel), synth_length=T_mel * hop))
+    assert y.shape == y_ref.shape
+    rel = np.sqrt(np.mean((y - y_ref) ** 2) / (np.mean(y_ref**2) + 1e-12))
+    assert rel < 3e-3, rel
+
+
 def test_norm_mel_infer_runs():
     """normalize_rms_from_mell path produces finite audio at the right length."""
     hp = _oracle_hparams()

@@ -173,6 +173,75 @@ def test_synth_scan_multi_utterance(model_params):
         np.testing.assert_allclose(y_all[b : b + 1], y_b, rtol=1e-4, atol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def causal_model_params():
+    import mbexwn_vocoder_tpu as mv_
+    from mbexwn_vocoder_tpu.config import read_config as rc
+
+    hp = rc(mv_.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"].update(n_channels=16, n_layers=3, n_out_channels=8)
+    mc["pp_mod_subnet_noise_channel_sigma"] = 0.0
+    mc["normalize_rms_from_mell"] = False
+    mc["force_causal"] = True
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1, T_mel=8)
+    return model, params
+
+
+def test_causal_low_latency_chunked(causal_model_params):
+    """force_causal + halo_right=2: a causal model needs only TWO mel frames
+    of lookahead (conditioning interpolation + STFT OLA span) for chunked
+    synthesis to match one-shot -- the low-latency mode the flag exists for
+    (custom_pulsed_generator.py:215-218).  Algorithmic latency is therefore
+    (chunk_frames+2)*hop samples, 25 ms of lookahead at the 24 kHz production
+    rate, independent of utterance length."""
+    model, params = causal_model_params
+    rng = np.random.RandomState(13)
+    T = 96
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    y_one = np.asarray(model.infer(params, jnp.asarray(mell), synth_length=T * 300))
+
+    ss = StreamingSynthesizer(model, params, chunk_frames=16, halo_frames=16, halo_right=2)
+    y = ss.synth(mell)
+    assert y.shape == y_one.shape
+    rel = np.sqrt(np.mean((y - y_one) ** 2) / (np.mean(y_one**2) + 1e-12))
+    assert rel < 1e-3, rel
+
+    # one frame of lookahead is NOT enough (the OLA window spans 2 frames):
+    # guards against the tolerance silently hiding a broken halo plumbing
+    ss1 = StreamingSynthesizer(model, params, chunk_frames=16, halo_frames=16, halo_right=1)
+    rel1 = np.sqrt(np.mean((ss1.synth(mell) - y_one) ** 2) / (np.mean(y_one**2) + 1e-12))
+    assert rel1 > 1e-3, rel1
+
+
+def test_stream_incremental_api(causal_model_params):
+    """stream(): frames pushed incrementally (any slab size) yield the same
+    audio as one-shot synthesis, with only steady-state + boundary programs
+    compiled."""
+    model, params = causal_model_params
+    rng = np.random.RandomState(14)
+    T = 96
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    y_one = np.asarray(model.infer(params, jnp.asarray(mell), synth_length=T * 300))
+
+    ss = StreamingSynthesizer(model, params, chunk_frames=16, halo_frames=16, halo_right=2)
+    outs = {}
+    for slab in (1, 4, 7):
+        chunks = list(ss.stream(mell[:, i : i + slab] for i in range(0, T, slab)))
+        y = np.concatenate(chunks, axis=1)
+        assert y.shape == y_one.shape
+        outs[slab] = y
+        rel = np.sqrt(np.mean((y - y_one) ** 2) / (np.mean(y_one**2) + 1e-12))
+        assert rel < 1e-3, (slab, rel)
+    # slab size must not change the result at all
+    np.testing.assert_array_equal(outs[1], outs[4])
+    np.testing.assert_array_equal(outs[1], outs[7])
+    # matches the offline chunked path exactly (same chunk programs)
+    np.testing.assert_array_equal(outs[1], ss.synth(mell))
+    assert len(ss._jitted) <= 3
+
+
 def test_tensor_parallel_wavenet(monkeypatch):
     """MBEXWN_TP_AXIS=model: WaveNet channel dim sharded over the 'model'
     mesh axis via GSPMD constraints -- output matches the unsharded model."""

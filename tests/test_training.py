@@ -57,6 +57,46 @@ def test_spect_loss_parity_with_reference():
     np.testing.assert_allclose(float(ours_losses["mel_loss"]), float(mel_ref), rtol=2e-4)
 
 
+def test_spect_loss_variants_dimension_parity():
+    """train_with_avg=1 with a (B, V, T) variants dimension: both
+    implementations strip to variant 0 (wavegen_1d.py:187-190, the
+    reference's only live branch -- >1 dies upstream on an undefined
+    syn_spec_list at :200); the spectral errors must agree, and must equal
+    the plain 2-D call on variant 0."""
+    require_reference()
+    from MBExWN_NVoc.vocoder.model.wavegen_1d import SpectLossComponents as RefSLC
+
+    hp = _small_hparams()
+    tc, pc = hp["training_config"], hp["preprocess_config"]
+
+    ref = RefSLC(tc, pc, quiet=True, train_with_avg=1)
+    ref.NPOW_loss_weight = tc["spect_loss_config"]["NPOW_loss_weight"]
+    ours = SpectLossComponents(tc, pc, train_with_avg=1, sub_sample_facts=[1, 2])
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(2, 4800).astype(np.float32) * 0.1
+    b = (a[:, None] + 0.05 * rng.randn(2, 3, 4800)).astype(np.float32)  # 3 variants
+
+    spect_ref, npow_ref = ref.calc_spectral_error(a, b)
+    spect_ours, npow_ours = ours.calc_spectral_error(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(spect_ours), float(spect_ref), rtol=2e-4)
+    np.testing.assert_allclose(float(npow_ours), float(npow_ref), rtol=2e-4)
+
+    s0, n0 = ours.calc_spectral_error(jnp.asarray(a), jnp.asarray(b[:, 0]))
+    np.testing.assert_allclose(float(spect_ours), float(s0), rtol=1e-6)
+
+    # train_with_avg>1 (our working extension of the dead upstream path):
+    # averages the scaled variant spectra; identical variants == variant 0
+    ours_avg = SpectLossComponents(tc, pc, train_with_avg=3)
+    b_same = np.repeat(b[:, :1], 3, axis=1)
+    s_avg, n_avg = ours_avg.calc_spectral_error(jnp.asarray(a), jnp.asarray(b_same))
+    np.testing.assert_allclose(float(s_avg), float(s0), rtol=1e-5)
+    np.testing.assert_allclose(float(n_avg), float(n0), rtol=1e-5)
+    # distinct variants engage the average (different from any single variant)
+    s_mix, _ = ours_avg.calc_spectral_error(jnp.asarray(a), jnp.asarray(b))
+    assert abs(float(s_mix) - float(s0)) > 1e-6
+
+
 def test_f0_masks():
     """Mask semantics: unvoiced/voiced segments dilated by the limit length."""
     f0 = np.zeros((1, 40), np.float32)
