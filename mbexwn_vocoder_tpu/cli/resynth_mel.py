@@ -28,7 +28,7 @@ def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, se
 
     if pipeline:
         _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose,
-                        quiet, depth=pipeline)
+                        quiet, depth=pipeline, batch=batch)
         return
 
     for mell_file in input_mell_files:
@@ -63,16 +63,18 @@ def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, se
         write_wav(outfile, syn_audio, MelInv.srate)
 
 
-def _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose, quiet, depth):
+def _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose, quiet, depth,
+                    batch=1):
     """Depth-bounded pipelined serving loop: device synthesis of file i+1
-    overlaps the readback/mel-check/wav-write of file i (serving.py)."""
+    overlaps the readback/mel-check/wav-write of file i (serving.py); with
+    batch>1, same-bucket files additionally micro-batch into one dispatch."""
     from ..compat import iovar
     from ..compat.audio_io import write_wav
     from ..dsp.db import log_to_db
     from ..serving import PipelinedSynthesizer
 
     ps = PipelinedSynthesizer(MelInv.model, MelInv.params,
-                              length_buckets=MelInv.length_buckets, depth=depth)
+                              length_buckets=MelInv.length_buckets, depth=depth, batch=batch)
     outfiles, mels = [], []
     for mell_file in input_mell_files:
         outfiles.append(os.path.join(
@@ -123,6 +125,10 @@ def cli():
     parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
                         help="serve files through a DEPTH-deep async pipeline "
                              "(overlaps device synthesis with readback/writes)")
+    parser.add_argument("--batch", type=int, default=1, metavar="B",
+                        help="with --pipeline: micro-batch up to B consecutive "
+                             "same-length-bucket files into one device batch "
+                             "(throughput per file approaches the batched rate)")
     parser.add_argument("-nt", "--cpu_threads", "--num_threads", type=int, default=None,
                         help="bound host CPU threads for fair CPU benchmarking "
                              "(reference default: 2; resynth_mel.py:61-62)")

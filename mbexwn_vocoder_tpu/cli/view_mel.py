@@ -36,7 +36,7 @@ def _load_mel(infile, preprocess_config, noise_mask_atten_db=None):
 
 
 def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, cargs=None,
-         noise_mask_atten_db=None, plot_snds=False):
+         noise_mask_atten_db=None, plot_snds=False, show=False):
     from .. import get_config_file
     from ..config import config_utils as cutils
     from ..dsp.db import log_to_db
@@ -67,10 +67,16 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
         d = log_to_db * np.mean(np.abs(mels[0][1][:T] - mels[1][1][:T]))
         print(f"mel-L1 diff {mels[0][0]} vs {mels[1][0]}: {d:.3f} dB")
 
-    if output:
+    if show and not (os.environ.get("DISPLAY") or sys.platform == "darwin"):
+        print("view_mel: no display available, falling back to stats"
+              + (" + PNG" if output else " (pass -o to render a PNG)"), file=sys.stderr)
+        show = False
+
+    if output or show:
         import matplotlib
 
-        matplotlib.use("Agg")
+        if not show:  # interactive backend stays default when displaying
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         n = len(mels) + (1 if (diff_mel and len(mels) >= 2) else 0) + (len(snds) if plot_snds else 0)
@@ -93,8 +99,12 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
             axes[row][0].imshow(dd, origin="lower", aspect="auto")
             axes[row][0].set_title("diff (dB)")
         fig.tight_layout()
-        fig.savefig(output)
-        print(f"wrote {output}", file=sys.stderr)
+        if output:
+            fig.savefig(output)
+            print(f"wrote {output}", file=sys.stderr)
+        if show:
+            # interactive display (reference bin/view_mel.py:43-162 behavior)
+            plt.show()
 
 
 def cli():
@@ -115,6 +125,9 @@ def cli():
                         help="masking noise added before calculating the mel spectrum")
     parser.add_argument("-ps", "--plot_snds", action="store_true",
                         help="also plot the waveforms of audio inputs")
+    parser.add_argument("--show", action="store_true",
+                        help="open an interactive matplotlib window (needs a display; "
+                             "falls back to stats/PNG when headless)")
     args = parser.parse_args()
     main(**vars(args))
 

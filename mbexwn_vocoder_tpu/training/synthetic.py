@@ -47,10 +47,14 @@ def _segment_plan(rng, duration_s: float) -> list:
     return plan
 
 
-def _formant_filter(rng, x: np.ndarray, sr: int, n_blocks: int) -> np.ndarray:
+def _formant_filter(rng, x: np.ndarray, sr: int, n_blocks: int,
+                    formant_scale: float = 1.0) -> np.ndarray:
     """Cascade of 4 slowly-drifting resonators applied block-wise with
-    overlap-add crossfades (piecewise-stationary vocal tract)."""
-    ranges = [(280, 900), (900, 2400), (2300, 3400), (3300, 4600)]
+    overlap-add crossfades (piecewise-stationary vocal tract).
+    formant_scale shifts all resonator ranges (a shorter/longer vocal
+    tract) -- used by the distribution-shifted eval variant."""
+    ranges = [(int(lo * formant_scale), int(hi * formant_scale))
+              for lo, hi in [(280, 900), (900, 2400), (2300, 3400), (3300, 4600)]]
     bws = [(60, 140), (80, 180), (120, 250), (150, 300)]
     n = x.size
     block = int(np.ceil(n / n_blocks))
@@ -132,20 +136,33 @@ def _singing_plan(rng, duration_s: float) -> list:
 
 def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int = 24000,
                     f0_base: Optional[float] = None,
-                    style: str = "speech") -> Tuple[np.ndarray, np.ndarray]:
+                    style: str = "speech", shifted: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """One utterance: returns (audio float32 in [-1,1], f0 contour at sr).
 
     style="speech": prosodic F0 drift + declination, syllabic segments.
     style="singing": note-quantized melody with vibrato, sustained voicing
-    (for SING/VOICE-family training corpora)."""
+    (for SING/VOICE-family training corpora).
+
+    shifted=True draws every voice parameter from deliberately
+    NON-overlapping ranges (higher/lower pitch registers, +18% formant
+    frequencies, steeper spectral tilt, faster+deeper vibrato): an
+    out-of-distribution eval variant, so the quality gate also measures
+    generalization instead of only held-out-same-distribution error."""
     n = int(duration_s * sr)
+    formant_scale = 1.18 if shifted else 1.0
 
     if style == "singing":
-        f0_base = f0_base if f0_base is not None else rng.uniform(150, 380)
+        if f0_base is None:
+            f0_base = rng.uniform(95, 145) if shifted else rng.uniform(150, 380)
         f0 = _singing_f0(rng, n, sr, f0_base)
+        if shifted:  # faster, deeper vibrato register on top of the melody
+            extra = 2.0 ** ((rng.uniform(30, 60) / 1200.0)
+                            * np.sin(2 * np.pi * rng.uniform(7.0, 8.0) * np.arange(n) / sr))
+            f0 = np.clip(f0 * extra, 45.0, 580.0)
         plan = _singing_plan(rng, duration_s)
     elif style == "speech":
-        f0_base = f0_base if f0_base is not None else rng.uniform(90, 240)
+        if f0_base is None:
+            f0_base = rng.uniform(250, 360) if shifted else rng.uniform(90, 240)
         # F0: slow prosodic drift + declination + jitter, bounded to the
         # model's pp range (40-600 Hz)
         f0 = _smooth_contour(rng, n, sr, f0_base * 0.8, f0_base * 1.45, 0.35)
@@ -177,7 +194,7 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
     # glottal-ish source: band-limited pulse train via additive harmonics with
     # 1/k rolloff and a per-utterance spectral tilt
     phase = np.cumsum(f0) / sr
-    tilt = rng.uniform(0.8, 1.6)
+    tilt = rng.uniform(1.7, 2.4) if shifted else rng.uniform(0.8, 1.6)
     max_harm = int(10000 / f0.min())
     src = np.zeros(n)
     k = 1
@@ -189,7 +206,8 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
     # aspiration floor under voicing
     src += 0.02 * voiced_mask * rng.randn(n)
 
-    voiced = _formant_filter(rng, src, sr, n_blocks=max(4, int(duration_s / 0.06)))
+    voiced = _formant_filter(rng, src, sr, n_blocks=max(4, int(duration_s / 0.06)),
+                             formant_scale=formant_scale)
 
     # fricatives: shaped high-band noise
     noise = rng.randn(n)
@@ -208,11 +226,12 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
 
 def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
                 duration_range=(2.0, 4.0), sr: int = 24000, quiet: bool = False,
-                style: str = "speech") -> list:
+                style: str = "speech", shifted: bool = False) -> list:
     """Write n synthetic utterances as float32 wavs; returns the file list.
 
     style: "speech" | "singing" | "mixed" (alternating — the VOICE-family
-    universal corpus)."""
+    universal corpus).  shifted=True produces the out-of-distribution eval
+    variant (see synth_utterance)."""
     from ..compat.audio_io import write_wav
 
     os.makedirs(out_dir, exist_ok=True)
@@ -221,10 +240,10 @@ def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
     for i in range(n_utterances):
         dur = rng.uniform(*duration_range)
         ustyle = style if style != "mixed" else ("singing" if i % 2 else "speech")
-        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr, style=ustyle)
+        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr, style=ustyle, shifted=shifted)
         path = os.path.join(out_dir, f"synthetic_{seed:03d}_{i:04d}.wav")
         write_wav(path, audio, sr)
         paths.append(path)
         if not quiet:
-            print(f"wrote {path} ({dur:.2f}s, {ustyle})")
+            print(f"wrote {path} ({dur:.2f}s, {ustyle}{', shifted' if shifted else ''})")
     return paths

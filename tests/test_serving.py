@@ -82,6 +82,27 @@ def test_stream_is_incremental(small_model):
     assert len(list(it)) == 3
 
 
+def test_micro_batching_matches_per_utterance(small_model):
+    """batch>1: same-bucket utterances stack into one device batch; results
+    come back in submission order, equal (within batched-conv fp
+    reassociation) to the per-utterance blocking path, across bucket changes
+    and a partial trailing group."""
+    model, params = small_model
+    hop = model.spect_hop_size
+    lengths = [8, 7, 8, 12, 16, 5, 8]  # buckets: 8,8,8,16,16,8,8
+    mels = _mels(7, lengths, seed=3)
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=2, batch=3)
+    got = ps.map(mels)
+    assert [y.shape[0] for y in got] == [T * hop for T in lengths]
+    ps1 = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=1, batch=1)
+    for m, y, y1 in zip(mels, got, ps1.map(mels)):
+        scale = max(np.abs(y1).max(), 1e-6)
+        np.testing.assert_allclose(y / scale, y1 / scale, rtol=0, atol=3e-5)
+
+    with pytest.raises(ValueError):
+        PipelinedSynthesizer(model, params, batch=0)
+
+
 def test_warm_precompiles_buckets(small_model):
     model, params = small_model
     ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=2)

@@ -161,6 +161,36 @@ def test_synthetic_corpus_generator(tmp_path):
     assert batch["audio"].shape == (2, 6000) and np.all(np.isfinite(batch["mel"]))
 
 
+def test_synthetic_shifted_eval_variant(tmp_path):
+    """shifted=True (the out-of-distribution eval leg of the quality gate):
+    finite audio, F0 register disjoint from the base speech range, formants
+    scaled up (more high-band energy than base at matched tilt ranges)."""
+    from mbexwn_vocoder_tpu.training.synthetic import make_corpus, synth_utterance
+
+    rng = np.random.RandomState(9)
+    audio, f0 = synth_utterance(rng, duration_s=1.5, shifted=True)
+    assert np.all(np.isfinite(audio)) and np.abs(audio).max() <= 1.0
+    voiced = f0[f0 > 0]
+    assert voiced.size > 0.2 * f0.size
+    # shifted speech register: f0_base in (250, 360) vs base (90, 240); the
+    # contour is bounded by 0.8..1.45 x base x declination, so it stays >180
+    assert voiced.min() > 180, voiced.min()
+    assert voiced.max() < 600
+
+    # deterministic per seed and distinct from the unshifted draw
+    rng2 = np.random.RandomState(9)
+    audio2, _ = synth_utterance(rng2, duration_s=1.5, shifted=True)
+    np.testing.assert_array_equal(audio, audio2)
+    rng3 = np.random.RandomState(9)
+    audio3, _ = synth_utterance(rng3, duration_s=1.5, shifted=False)
+    assert audio.shape != audio3.shape or np.abs(audio - audio3).max() > 0
+
+    out = str(tmp_path / "shift")
+    paths = make_corpus(out, n_utterances=2, seed=8, duration_range=(1.0, 1.2),
+                        quiet=True, shifted=True, style="mixed")
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
 def test_synthetic_singing_style(tmp_path):
     """style="singing": sustained voicing with vibrato-modulated note pitches
     (the SING/VOICE-family corpus); "mixed" alternates both styles."""

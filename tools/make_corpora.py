@@ -38,16 +38,34 @@ XL_SPECS = [
     ("voice_train_xl", 22, 160, "mixed"),
 ]
 
+# out-of-distribution eval sets (--shifted): every voice parameter drawn from
+# non-overlapping ranges (see synthetic.synth_utterance shifted=True) -- the
+# quality gate's generalization leg, since train/eval otherwise share the
+# generator distribution
+SHIFTED_SPECS = [
+    ("synth_eval_shift", 1999, 8, "speech"),
+    ("sing_eval_shift", 1998, 8, "singing"),
+    ("voice_eval_shift", 1997, 8, "mixed"),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=".data")
     ap.add_argument("--xl", action="store_true", help="also build the 160-utterance training corpora")
+    ap.add_argument("--shifted", action="store_true",
+                    help="also build the out-of-distribution eval sets")
     args = ap.parse_args()
     for name, seed, n, style in SPECS + (XL_SPECS if args.xl else []):
         out = os.path.join(args.root, name)
         paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
         print(f"{out}: {len(paths)} utterances ({style}, seed {seed})")
+    if args.shifted:
+        for name, seed, n, style in SHIFTED_SPECS:
+            out = os.path.join(args.root, name)
+            paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True,
+                                shifted=True)
+            print(f"{out}: {len(paths)} utterances ({style}, seed {seed}, SHIFTED)")
 
 
 if __name__ == "__main__":
