@@ -192,8 +192,9 @@ class StreamingSynthesizer:
     def synth_scan(self, mell: np.ndarray) -> np.ndarray:
         """(B, T, C) log-mel -> (B, T*hop) waveform via the on-device scan.
 
-        All chunks use one uniform [halo | chunk | halo] span; the mel is
-        edge-replicated into the outer halos and to a whole number of chunks,
+        All chunks use one uniform [halo_frames | chunk | halo_right] span;
+        the mel is edge-replicated into the outer halos and to a whole number
+        of chunks,
         so the first/last `halo_frames` of output see replicated context
         where the one-shot program sees the signal boundary (bounded,
         receptive-field-local difference; interior chunks match the one-shot

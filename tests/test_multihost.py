@@ -1,0 +1,75 @@
+"""Real multi-process collectives: a 2-process jax.distributed CPU 'cluster'
+(4 virtual devices each -> one global 8-device mesh) runs the DP train step
+through parallel/multihost.py and must produce the same loss on both
+processes AND the same loss as a single-process 8-device run.
+
+This is the strongest multi-host artifact obtainable without a second host:
+the cross-process psum really crosses process boundaries (CPU collectives
+stand in for DCN; the device code is identical on a pod).
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+_RESULT = re.compile(r"MH_RESULT process=(\d)/(\d) devices=(\d+) loss=([-\d.]+)")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env(extra):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the worker sets its own device count (4)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(extra)
+    return env
+
+
+def _parse(out: str):
+    m = _RESULT.search(out)
+    assert m, f"no MH_RESULT in output:\n{out[-2000:]}"
+    return int(m.group(1)), int(m.group(2)), int(m.group(3)), float(m.group(4))
+
+
+@pytest.mark.timeout(600)
+def test_two_process_dp_train_step_matches_single_process():
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER],
+            env=_env({"MH_COORD": coord, "MH_NPROC": "2", "MH_PID": str(i)}),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    losses = []
+    for i, out in enumerate(outs):
+        pid, nproc, ndev, loss = _parse(out)
+        assert (pid, nproc, ndev) == (i, 2, 8), out[-500:]
+        losses.append(loss)
+    assert losses[0] == losses[1], losses
+
+    single = subprocess.run(
+        [sys.executable, _WORKER], env=_env({"MH_SINGLE": "1"}),
+        capture_output=True, text=True, timeout=480,
+    )
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-2000:]
+    _, nproc, ndev, loss_1p = _parse(single.stdout)
+    assert (nproc, ndev) == (1, 8)
+    # same mesh size, same batch, same init: cross-process psum vs in-process
+    # psum may reassociate -> tight but not bit-equal tolerance
+    assert abs(loss_1p - losses[0]) / abs(loss_1p) < 1e-5, (loss_1p, losses[0])
