@@ -42,12 +42,20 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     return 0
 }
 
+# registry destination for the publish step (publish_model requires --dest)
+case "$MODEL" in
+    SPEECH) DEST=mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
+    SING)   DEST=mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
+    VOICE)  DEST=mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
+    *)      DEST="" ;;
+esac
+
 # 2. quality eval + publish the fresh checkpoint
 run_step quality_eval 2700 python tools/quality_eval.py --model "$RUN_DIR" \
     --eval_dir "$EVAL_DIR" --out "$RUN_DIR/quality_report.json"
-if [ -s "$RUN_DIR/quality_report.json" ]; then
+if [ -s "$RUN_DIR/quality_report.json" ] && [ -n "$DEST" ]; then
     run_step publish 600 python tools/publish_model.py --run "$RUN_DIR" \
-        --report "$RUN_DIR/quality_report.json"
+        --report "$RUN_DIR/quality_report.json" --dest "$DEST"
 fi
 
 if [ "$PROFILES" = "1" ]; then
