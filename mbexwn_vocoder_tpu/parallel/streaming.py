@@ -318,6 +318,20 @@ class StreamingSynthesizer:
             t0 = t1
         return np.concatenate(outs, axis=1)
 
+    def warm(self, batch_size: int = 1) -> None:
+        """Precompile every chunk program stream()/synth() will hit in the
+        left-halo ramp-up (left context grows min(h, k*c) until it saturates
+        at h) so live synthesis pays no XLA compile at first audio."""
+        import jax.numpy as jnp
+
+        c, h, hr = self.chunk_frames, self.halo_frames, self.halo_right
+        C = self.model.mel_channels
+        for left in sorted({min(h, k * c) for k in range(-(-h // c) + 1)}):
+            fn = self._chunk_fn(left + c + hr, left, c)
+            a, _ = fn(self.params, jnp.full((batch_size, left + c + hr, C), -10.0, jnp.float32),
+                      jnp.zeros((batch_size,), jnp.float32))
+            np.asarray(a[0, :4])
+
     def stream(self, frames_iter):
         """Live synthesis: consume an iterator of (B, n, C) mel-frame slabs,
         yield (B, chunk_frames*hop) audio slabs as soon as they are computable.

@@ -242,6 +242,22 @@ def test_stream_incremental_api(causal_model_params):
     assert len(ss._jitted) <= 3
 
 
+def test_stream_warm_precompiles_all_ramp_shapes(causal_model_params):
+    """warm() compiles every chunk shape stream() hits, so streaming a real
+    signal afterwards adds no new programs (no compile at first audio)."""
+    model, params = causal_model_params
+    ss = StreamingSynthesizer(model, params, chunk_frames=16, halo_frames=32, halo_right=2)
+    ss.warm()
+    n_programs = len(ss._jitted)
+    T = 96
+    mell = (np.random.RandomState(15).randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+    list(ss.stream(mell[:, i : i + 4] for i in range(0, T, 4)))
+    # tail flush may truncate the lookahead at the signal end (T a multiple of
+    # chunk_frames here, so the final chunk has hr=2 frames missing -> one
+    # extra shape at most)
+    assert len(ss._jitted) <= n_programs + 1, (n_programs, len(ss._jitted))
+
+
 def test_tensor_parallel_wavenet(monkeypatch):
     """MBEXWN_TP_AXIS=model: WaveNet channel dim sharded over the 'model'
     mesh axis via GSPMD constraints -- output matches the unsharded model."""
