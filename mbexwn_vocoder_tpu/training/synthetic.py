@@ -136,7 +136,8 @@ def _singing_plan(rng, duration_s: float) -> list:
 
 def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int = 24000,
                     f0_base: Optional[float] = None,
-                    style: str = "speech", shifted: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                    style: str = "speech", shifted: bool = False,
+                    balance: str = "natural") -> Tuple[np.ndarray, np.ndarray]:
     """One utterance: returns (audio float32 in [-1,1], f0 contour at sr).
 
     style="speech": prosodic F0 drift + declination, syllabic segments.
@@ -147,7 +148,17 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
     NON-overlapping ranges (higher/lower pitch registers, +18% formant
     frequencies, steeper spectral tilt, faster+deeper vibrato): an
     out-of-distribution eval variant, so the quality gate also measures
-    generalization instead of only held-out-same-distribution error."""
+    generalization instead of only held-out-same-distribution error.
+
+    balance="natural" (default) mixes fricative noise at a drawn level 8-20 dB
+    BELOW the voiced-segment RMS, the level relation of real voices.
+    balance="legacy" reproduces the v1 corpora bit-exactly (fixed absolute
+    fricative amplitude): there the resonator cascade attenuates the voiced
+    path so much that fricative bursts dominate peak normalization, leaving
+    voiced content ~15 dB down — which made the v1 mel-L1 quality gate partly
+    measure easy noise resynthesis (round-3 diagnosis,
+    tools/diagnose_sing_eval.py). Keep "legacy" only to regenerate the
+    provenance corpora of pre-v2 published checkpoints."""
     n = int(duration_s * sr)
     formant_scale = 1.18 if shifted else 1.0
 
@@ -214,6 +225,21 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
     b, a = ss.butter(4, [2000 / (sr / 2), 9000 / (sr / 2)], btype="band")
     fric = ss.lfilter(b, a, noise) * fric_mask * 0.5
 
+    if balance == "natural":
+        # mix fricatives relative to the voiced level the way real voices
+        # sit: consonant noise 8-20 dB below the vowel RMS (singing lower
+        # than speech). The resonator cascade's gain varies wildly with the
+        # harmonic/formant alignment, so measure, don't assume.
+        v_act = voiced_mask > 0.5
+        f_act = fric_mask > 0.5
+        v_rms = float(np.sqrt(np.mean(voiced[v_act] ** 2))) if v_act.any() else 0.0
+        f_rms = float(np.sqrt(np.mean(fric[f_act] ** 2))) if f_act.any() else 0.0
+        rel_db = rng.uniform(-20.0, -12.0) if style == "singing" else rng.uniform(-16.0, -8.0)
+        if v_rms > 0.0 and f_rms > 0.0:
+            fric *= (v_rms / f_rms) * 10.0 ** (rel_db / 20.0)
+    elif balance != "legacy":
+        raise ValueError(f"unknown balance {balance!r} (natural|legacy)")
+
     audio = voiced + fric
     # loudness modulation: syllabic for speech, phrase-level swells for singing
     amp_tau = 0.6 if style == "singing" else 0.22
@@ -226,12 +252,13 @@ def synth_utterance(rng: np.random.RandomState, duration_s: float = 3.0, sr: int
 
 def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
                 duration_range=(2.0, 4.0), sr: int = 24000, quiet: bool = False,
-                style: str = "speech", shifted: bool = False) -> list:
+                style: str = "speech", shifted: bool = False,
+                balance: str = "natural") -> list:
     """Write n synthetic utterances as float32 wavs; returns the file list.
 
     style: "speech" | "singing" | "mixed" (alternating — the VOICE-family
     universal corpus).  shifted=True produces the out-of-distribution eval
-    variant (see synth_utterance)."""
+    variant; balance="legacy" the v1 fricative mix (see synth_utterance)."""
     from ..compat.audio_io import write_wav
 
     os.makedirs(out_dir, exist_ok=True)
@@ -240,7 +267,8 @@ def make_corpus(out_dir: str, n_utterances: int = 32, seed: int = 0,
     for i in range(n_utterances):
         dur = rng.uniform(*duration_range)
         ustyle = style if style != "mixed" else ("singing" if i % 2 else "speech")
-        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr, style=ustyle, shifted=shifted)
+        audio, _ = synth_utterance(rng, duration_s=dur, sr=sr, style=ustyle, shifted=shifted,
+                                   balance=balance)
         path = os.path.join(out_dir, f"synthetic_{seed:03d}_{i:04d}.wav")
         write_wav(path, audio, sr)
         paths.append(path)

@@ -239,6 +239,51 @@ def test_synthetic_singing_style(tmp_path):
         synth_utterance(np.random.RandomState(0), duration_s=1.0, style="whisper")
 
 
+def test_synthetic_voiced_fricative_balance():
+    """balance="natural" (v2 corpora): voiced segments must sit well ABOVE
+    the fricative noise, like real voices. The v1 "legacy" balance let
+    fricative bursts dominate (voiced ~15 dB down after peak normalization),
+    which made the mel-L1 quality gate partly measure noise resynthesis
+    (round-3 diagnosis). Guards the v2 corpora against regressing to that."""
+    import scipy.signal as ss
+
+    from mbexwn_vocoder_tpu.training.synthetic import synth_utterance
+
+    def voiced_over_unvoiced_db(audio, f0):
+        env = np.abs(ss.hilbert(audio.astype(np.float64)))
+        sm = ss.fftconvolve(env, np.ones(480) / 480, mode="same")
+        act = sm > 0.02 * sm.max()
+        voiced = f0 > 0
+        if not (voiced & act).any() or not (~voiced & act).any():
+            return None
+        v = np.sqrt((audio[voiced & act] ** 2).mean())
+        u = np.sqrt((audio[~voiced & act] ** 2).mean())
+        return 20 * np.log10(v / (u + 1e-12))
+
+    for style in ("speech", "singing"):
+        ratios = []
+        for seed in range(4):
+            rng = np.random.RandomState(100 + seed)
+            audio, f0 = synth_utterance(rng, duration_s=3.0, style=style)
+            r = voiced_over_unvoiced_db(audio, f0)
+            if r is not None:
+                ratios.append(r)
+        assert ratios and min(ratios) > 5.0, (style, ratios)
+
+    # the legacy mode must keep reproducing the v1 imbalance (provenance of
+    # pre-v2 published checkpoints depends on bit-exact regeneration)
+    rng = np.random.RandomState(998)
+    dur = rng.uniform(2.0, 4.0)
+    a_leg, f_leg = synth_utterance(rng, duration_s=dur, style="singing", balance="legacy")
+    rng2 = np.random.RandomState(998)
+    dur2 = rng2.uniform(2.0, 4.0)
+    a_leg2, _ = synth_utterance(rng2, duration_s=dur2, style="singing", balance="legacy")
+    np.testing.assert_array_equal(a_leg, a_leg2)
+
+    with pytest.raises(ValueError):
+        synth_utterance(np.random.RandomState(0), duration_s=1.0, balance="loud")
+
+
 def test_train_cli_end_to_end(tmp_path):
     """Run the real train CLI for a few steps on a tiny model; check metrics
     stream, checkpoint creation, resume, and inference-weight export."""

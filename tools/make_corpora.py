@@ -2,15 +2,22 @@
 """Regenerate the synthetic training/eval corpora the shipped checkpoints
 were trained on (deterministic per seed; see training/synthetic.py).
 
-The published registry checkpoints' provenance:
-  SPEECH: train .data/synth_train  (seed 10, 40 utt, speech style)
-          eval  .data/synth_eval   (seed 999, 8 utt)
-  SING:   train .data/sing_train   (seed 11, 40 utt, singing style)
-          eval  .data/sing_eval    (seed 998, 8 utt)
-  VOICE:  train .data/voice_train  (seed 12, 40 utt, mixed style)
-          eval  .data/voice_eval   (seed 997, 8 utt)
+v2 corpora (the default build) use balance="natural": fricative noise mixed
+8-20 dB below the voiced RMS, like real voices. The v1 corpora (--legacy)
+had an unnatural balance — fricative bursts ~15 dB ABOVE voiced content —
+which let the mel-L1 quality gate partly measure easy noise resynthesis
+(round-3 diagnosis, tools/diagnose_sing_eval.py). v1 remains reproducible
+only as provenance of the pre-v2 published checkpoints.
 
-Usage: python tools/make_corpora.py [--root .data]
+Current published registry checkpoint provenance (v2):
+  SPEECH: train .data/synth_train_v2 (seed 30, 160 utt, speech style)
+          eval  .data/synth_eval_v2  (seed 1099, 8 utt)
+  SING:   train .data/sing_train_v2  (seed 31, 160 utt, singing style)
+          eval  .data/sing_eval_v2   (seed 1098, 8 utt)
+  VOICE:  train .data/voice_train_v2 (seed 32, 160 utt, mixed style)
+          eval  .data/voice_eval_v2  (seed 1097, 8 utt)
+
+Usage: python tools/make_corpora.py [--root .data] [--shifted] [--legacy]
 """
 import argparse
 import os
@@ -20,43 +27,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mbexwn_vocoder_tpu.training.synthetic import make_corpus
 
-SPECS = [
-    ("synth_train", 10, 40, "speech"),
-    ("synth_eval", 999, 8, "speech"),
-    ("sing_train", 11, 40, "singing"),
-    ("sing_eval", 998, 8, "singing"),
-    ("voice_train", 12, 40, "mixed"),
-    ("voice_eval", 997, 8, "mixed"),
+# (name, seed, n, style) — natural balance, the current training/eval sets
+V2_SPECS = [
+    ("synth_train_v2", 30, 160, "speech"),
+    ("synth_eval_v2", 1099, 8, "speech"),
+    ("sing_train_v2", 31, 160, "singing"),
+    ("sing_eval_v2", 1098, 8, "singing"),
+    ("voice_train_v2", 32, 160, "mixed"),
+    ("voice_eval_v2", 1097, 8, "mixed"),
 ]
 
-# larger variance-matched corpora for extended training runs (--xl); the
-# train seeds differ from the base corpora so the 40-utterance sets are NOT
-# subsets — a checkpoint's provenance names exactly one spec row
-XL_SPECS = [
-    ("synth_train_xl", 20, 160, "speech"),
-    ("sing_train_xl", 21, 160, "singing"),
-    ("voice_train_xl", 22, 160, "mixed"),
-]
-
-# out-of-distribution eval sets (--shifted): every voice parameter drawn from
-# non-overlapping ranges (see synthetic.synth_utterance shifted=True) -- the
-# quality gate's generalization leg, since train/eval otherwise share the
-# generator distribution
+# out-of-distribution eval sets (--shifted), natural balance: every voice
+# parameter drawn from non-overlapping ranges (synthetic.synth_utterance
+# shifted=True) — the quality gate's generalization leg
 SHIFTED_SPECS = [
     ("synth_eval_shift", 1999, 8, "speech"),
     ("sing_eval_shift", 1998, 8, "singing"),
     ("voice_eval_shift", 1997, 8, "mixed"),
 ]
 
+# v1 (--legacy): provenance of checkpoints published before the v2 retrain
+LEGACY_SPECS = [
+    ("synth_train", 10, 40, "speech"),
+    ("synth_eval", 999, 8, "speech"),
+    ("sing_train", 11, 40, "singing"),
+    ("sing_eval", 998, 8, "singing"),
+    ("voice_train", 12, 40, "mixed"),
+    ("voice_eval", 997, 8, "mixed"),
+    ("synth_train_xl", 20, 160, "speech"),
+    ("sing_train_xl", 21, 160, "singing"),
+    ("voice_train_xl", 22, 160, "mixed"),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=".data")
-    ap.add_argument("--xl", action="store_true", help="also build the 160-utterance training corpora")
     ap.add_argument("--shifted", action="store_true",
                     help="also build the out-of-distribution eval sets")
+    ap.add_argument("--legacy", action="store_true",
+                    help="also build the v1 (unbalanced) corpora for pre-v2 provenance")
     args = ap.parse_args()
-    for name, seed, n, style in SPECS + (XL_SPECS if args.xl else []):
+    for name, seed, n, style in V2_SPECS:
         out = os.path.join(args.root, name)
         paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
         print(f"{out}: {len(paths)} utterances ({style}, seed {seed})")
@@ -66,6 +78,12 @@ def main():
             paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True,
                                 shifted=True)
             print(f"{out}: {len(paths)} utterances ({style}, seed {seed}, SHIFTED)")
+    if args.legacy:
+        for name, seed, n, style in LEGACY_SPECS:
+            out = os.path.join(args.root, name)
+            paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True,
+                                balance="legacy")
+            print(f"{out}: {len(paths)} utterances ({style}, seed {seed}, LEGACY v1)")
 
 
 if __name__ == "__main__":
