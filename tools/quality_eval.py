@@ -66,7 +66,12 @@ def main():
         print(f"{os.path.basename(path):40s} mel-L1 {err_db:7.3f} dB", file=sys.stderr)
 
     mean_db = float(np.mean([r["mel_L1_dB"] for r in rows]))
+    blk = getattr(inv.model, "block", None)
     report = {"model": args.model, "n_files": len(rows), "mean_mel_L1_dB": round(mean_db, 3),
+              "platform": _jax.devices()[0].platform,
+              "wn_compute_dtype": str(getattr(blk, "wn_compute_dtype", None)),
+              "subnet_compute_dtype": str(getattr(blk, "subnet_compute_dtype", None)),
+              "eval_dir": args.eval_dir,
               "files": rows}
     print(json.dumps(report))
     if args.out:

@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Chain the v2-corpus retrains of all three registry models on the
+# single-tenant TPU, unattended: for each model, train under
+# tools/train_watchdog.sh, then run the quality evals (shipped-default dtype,
+# fp32, and the out-of-distribution shifted set), then publish into the
+# registry. Pure bash between python steps; exactly ONE python-with-jax
+# process ever runs at a time (see CLAUDE.md "TPU runtime").
+#
+# Usage: nohup tools/train_chain.sh > .runs/chain.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+STEPS=${STEPS:-20000}
+COOLDOWN_S=${COOLDOWN_S:-100}
+QDIR=.runs/chain
+mkdir -p "$QDIR"
+
+say() { echo "[chain $(date -u +%H:%M:%S)] $*" >&2; }
+
+run_step() {  # run_step <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    say "step $name: $*"
+    timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
+    say "step $name exit $?"
+    sleep "$COOLDOWN_S"
+    return 0
+}
+
+train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <dest>
+    local model=$1 train_dir=$2 eval_dir=$3 shift_dir=$4 run=$5 dest=$6
+    local log="$run.log" pidfile="$run.pid"
+    mkdir -p "$run"
+
+    say "=== $model: training $STEPS steps on $train_dir -> $run ==="
+    nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
+        --steps "$STEPS" --num_workers 3 > "$log" 2>&1 < /dev/null &
+    echo $! > "$pidfile"
+
+    # watchdog blocks until the done marker appears (restarting through
+    # relay wedges), or gives up after MAX_RESTARTS
+    tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
+        python bin/train.py "$model" -d "$train_dir" -o "$run" \
+        --steps "$STEPS" --num_workers 3 2>> "$run.watchdog.log"
+    if ! grep -q "exported inference model to" "$log" 2>/dev/null; then
+        say "$model: trainer never finished; skipping eval/publish"
+        return 1
+    fi
+    say "$model: training done; cooling down ${COOLDOWN_S}s"
+    sleep "$COOLDOWN_S"
+
+    run_step "${model}_eval" 2700 python tools/quality_eval.py \
+        --model "$run" --eval_dir "$eval_dir" --out "$run/quality_report.json"
+    run_step "${model}_eval_fp32" 2700 env MBEXWN_WN_DTYPE= MBEXWN_SUBNET_DTYPE= \
+        python tools/quality_eval.py --model "$run" --eval_dir "$eval_dir" \
+        --out "$run/quality_report_fp32.json"
+    run_step "${model}_eval_shift" 2700 python tools/quality_eval.py \
+        --model "$run" --eval_dir "$shift_dir" --out "$run/quality_report_shift.json"
+    if [ -s "$run/quality_report.json" ]; then
+        run_step "${model}_publish" 600 python tools/publish_model.py --run "$run" \
+            --report "$run/quality_report.json" --dest "$dest"
+    fi
+    return 0
+}
+
+train_one SING  .data/sing_train_v2  .data/sing_eval_v2  .data/sing_eval_shift \
+    .runs/sing_v2  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz
+train_one SPEECH .data/synth_train_v2 .data/synth_eval_v2 .data/synth_eval_shift \
+    .runs/speech_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz
+train_one VOICE .data/voice_train_v2 .data/voice_eval_v2 .data/voice_eval_shift \
+    .runs/voice_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz
+
+say "chain complete"
