@@ -31,9 +31,11 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
 }
 
 # 1. batch-1 gap (VERDICT r2 #5): default vs fused Pallas stack, + per-stage
-#    profile at the serving bucket
+#    profile at the serving bucket; b32 Pallas A/B decides whether the Pallas
+#    stack can be the TPU default (cold-start motivation, VERDICT r2 #9)
 run_step b1_default 1200 python bench.py --one 1 512
 run_step b1_pallas 1200 env MBEXWN_PALLAS_WN=1 python bench.py --one 1 512
+run_step b32_pallas 1200 env MBEXWN_PALLAS_WN=1 python bench.py --one 32 128
 run_step profile_b1 2700 python tools/profile_stages.py --batch 1 --tmel 512 --iters 8
 
 # 2. causal live-streaming latency row (VERDICT r2 #3b)
