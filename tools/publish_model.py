@@ -80,6 +80,13 @@ def main():
 
     if args.report and os.path.exists(args.report):
         shutil.copyfile(args.report, os.path.join(dest, "quality_report.json"))
+        # ship the companion evidence reports when the eval produced them:
+        # forced-fp32 (dtype-cost isolation) and the shifted out-of-
+        # distribution set (generalization leg of the quality gate)
+        for suffix in ("_fp32", "_shift"):
+            side = args.report.replace(".json", f"{suffix}.json")
+            if side != args.report and os.path.exists(side):
+                shutil.copyfile(side, os.path.join(dest, f"quality_report{suffix}.json"))
 
     sizes = {os.path.basename(p): f"{os.path.getsize(p) / 1e6:.1f} MB"
              for p in (dst_weights,)}
