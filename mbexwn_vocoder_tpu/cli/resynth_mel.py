@@ -102,6 +102,20 @@ def _main_pipelined(MelInv, input_mell_files, output_dir, format, verbose, quiet
               f"({n / dur:.2f}Hz, depth {depth})", file=sys.stderr)
 
 
+def apply_precision(precision):
+    """Map the --precision choice onto the compute-dtype env knobs.
+
+    Must run before the model is constructed; an EMPTY value forces fp32
+    (models/mbexwn.py::_dtype_pref). setdefault keeps the documented
+    precedence: an explicitly exported MBEXWN_*_DTYPE always wins.
+    """
+    if precision == "default":
+        return
+    val = "" if precision == "quality" else "bfloat16"
+    os.environ.setdefault("MBEXWN_WN_DTYPE", val)
+    os.environ.setdefault("MBEXWN_SUBNET_DTYPE", val)
+
+
 def cli():
     from ..platform import apply_platform_override
 
@@ -132,7 +146,16 @@ def cli():
     parser.add_argument("-nt", "--cpu_threads", "--num_threads", type=int, default=None,
                         help="bound host CPU threads for fair CPU benchmarking "
                              "(reference default: 2; resynth_mel.py:61-62)")
+    parser.add_argument("--precision", choices=("quality", "fast", "default"),
+                        default="default",
+                        help="compute precision: 'quality' forces fp32 everywhere "
+                             "(measured ~1.5 dB better mel-L1 on voiced content on "
+                             "real TPU MXUs, PERFORMANCE.md), 'fast' forces bf16 "
+                             "(~1.8x step rate), 'default' uses the model config "
+                             "(env MBEXWN_WN_DTYPE/MBEXWN_SUBNET_DTYPE still wins)")
     args = parser.parse_args()
+    apply_precision(args.precision)
+    del args.precision
     if args.cpu_threads is not None:
         # must happen before the jax backend initializes
         import os as _os

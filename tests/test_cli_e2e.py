@@ -98,3 +98,31 @@ def test_mel_inverter_scale_mel_round_trip(tone_wav):
     dd_bad["fmin"] = 123.0
     with pytest.raises(RuntimeError):
         inv.scale_mel(dd_bad)
+
+
+def test_resynth_precision_knob(monkeypatch):
+    """--precision maps onto the compute-dtype env knobs (quality=fp32 via
+    EMPTY value, fast=bf16), without clobbering an explicit export."""
+    from mbexwn_vocoder_tpu.cli.resynth_mel import apply_precision
+
+    for var in ("MBEXWN_WN_DTYPE", "MBEXWN_SUBNET_DTYPE"):
+        monkeypatch.delenv(var, raising=False)
+
+    apply_precision("default")
+    assert "MBEXWN_WN_DTYPE" not in os.environ
+
+    apply_precision("quality")
+    assert os.environ["MBEXWN_WN_DTYPE"] == ""  # empty value forces fp32
+    assert os.environ["MBEXWN_SUBNET_DTYPE"] == ""
+
+    # an explicit export wins over the knob
+    monkeypatch.setenv("MBEXWN_WN_DTYPE", "float32")
+    monkeypatch.setenv("MBEXWN_SUBNET_DTYPE", "float32")
+    apply_precision("fast")
+    assert os.environ["MBEXWN_WN_DTYPE"] == "float32"
+
+    monkeypatch.delenv("MBEXWN_WN_DTYPE")
+    monkeypatch.delenv("MBEXWN_SUBNET_DTYPE")
+    apply_precision("fast")
+    assert os.environ["MBEXWN_WN_DTYPE"] == "bfloat16"
+    assert os.environ["MBEXWN_SUBNET_DTYPE"] == "bfloat16"

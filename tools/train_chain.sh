@@ -7,11 +7,13 @@
 # process ever runs at a time (see CLAUDE.md "TPU runtime").
 #
 # Usage: nohup tools/train_chain.sh > .runs/chain.log 2>&1 &
+#   MODELS="SING SPEECH" tools/train_chain.sh   # subset / custom order
 set -u
 cd "$(dirname "$0")/.."
 
 STEPS=${STEPS:-20000}
 COOLDOWN_S=${COOLDOWN_S:-100}
+MODELS=${MODELS:-"SING SPEECH VOICE"}
 QDIR=.runs/chain
 mkdir -p "$QDIR"
 
@@ -62,11 +64,19 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
     return 0
 }
 
-train_one SING  .data/sing_train_v2  .data/sing_eval_v2  .data/sing_eval_shift \
-    .runs/sing_v2  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz
-train_one SPEECH .data/synth_train_v2 .data/synth_eval_v2 .data/synth_eval_shift \
-    .runs/speech_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz
-train_one VOICE .data/voice_train_v2 .data/voice_eval_v2 .data/voice_eval_shift \
-    .runs/voice_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz
+for m in $MODELS; do
+    case "$m" in
+    SING)
+        train_one SING  .data/sing_train_v2  .data/sing_eval_v2  .data/sing_eval_shift \
+            .runs/sing_v2  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
+    SPEECH)
+        train_one SPEECH .data/synth_train_v2 .data/synth_eval_v2 .data/synth_eval_shift \
+            .runs/speech_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
+    VOICE)
+        train_one VOICE .data/voice_train_v2 .data/voice_eval_v2 .data/voice_eval_shift \
+            .runs/voice_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
+    *) say "unknown model '$m'" ;;
+    esac
+done
 
 say "chain complete"
