@@ -20,10 +20,27 @@ from .core import Module
 from .layers import Conv1DUpDownSample, Conv1DWeightNorm, LinInterpLayer
 
 
-def _use_pallas_wavenet() -> bool:
+def _use_pallas_wavenet(batch: Optional[int] = None) -> bool:
+    """Route the dilated gated stack through the fused Pallas kernel?
+
+    MBEXWN_PALLAS_WN: 1/on/true forces the kernel, 0/off/false (or empty)
+    forces the XLA conv path, and the default "auto" picks per traced
+    program: the kernel wins at batch-1 on a real TPU (measured 13.3 vs
+    15.2 ms/step at the 512-frame serving bucket, and 149 s vs 535 s cold
+    compile through the remote-compile relay) but costs ~9% at batch-32
+    (66.3 vs 60.4 ms), so auto uses it only for single-utterance programs.
+    The kernel has no VJP: the Trainer pins the knob off in its process
+    (training/trainer.py); forcing 1 is an inference-only mode like
+    MBEXWN_WN_QUANT.
+    """
     import os
 
-    return os.environ.get("MBEXWN_PALLAS_WN", "0") in ("1", "on", "true")
+    val = os.environ.get("MBEXWN_PALLAS_WN", "auto").strip().lower()
+    if val in ("1", "on", "true"):
+        return True
+    if val != "auto":  # 0/off/false/empty/unknown -> conv path
+        return False
+    return batch == 1 and jax.default_backend() == "tpu"
 
 
 def _wn_quant_mode() -> str:
@@ -230,16 +247,17 @@ class WaveNetAE(Module):
             else:
                 cond_layers = jnp.split(c, self.n_layers * self.n_ch_groups, axis=-1)
 
-        # fused Pallas stack (MBEXWN_PALLAS_WN=1): the whole dilated gated
-        # stack as 3 kernels with resident weights and on-chip activations.
-        # Measured on v5e: runtime parity with the XLA conv path (both are
-        # MXU-throughput-bound at ~95 TFLOP/s for this shape -- see
-        # PERFORMANCE.md roofline note) but the kernel compiles in ~13 s vs
-        # 90-650 s for the conv stack through the remote-compile relay, which
-        # matters for cold starts.  Requires the shared-upsampled cond path,
-        # no channel groups, k=3, SAME padding.
+        # fused Pallas stack (MBEXWN_PALLAS_WN, default "auto" = batch-1 on
+        # TPU): the whole dilated gated stack as 3 kernels with resident
+        # weights and on-chip activations.  Measured on v5e: faster than the
+        # XLA conv path at batch-1 (13.3 vs 15.2 ms) where per-layer HBM
+        # round trips dominate, ~9% slower at batch-32 where both are
+        # MXU-throughput-bound (see PERFORMANCE.md roofline note); compiles
+        # in ~13 s vs 90-650 s for the conv stack through the remote-compile
+        # relay, which matters for cold starts.  Requires the
+        # shared-upsampled cond path, no channel groups, k=3, SAME padding.
         if (
-            _use_pallas_wavenet()
+            _use_pallas_wavenet(batch=started_full.shape[0])
             and self.n_ch_groups == 1
             and cond_layers is not None
             and self.cond_conv_upsampling is not None

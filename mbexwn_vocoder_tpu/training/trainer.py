@@ -85,6 +85,13 @@ def _make_optimizer(training_config: Dict) -> optax.GradientTransformation:
 
 class Trainer:
     def __init__(self, model: PaNWaveNet, hparams: Dict, mesh=None):
+        # the fused Pallas WaveNet kernel has no VJP; pin its "auto" routing
+        # off for this process so a batch-1 grad trace can never select it
+        # (an explicit MBEXWN_PALLAS_WN=1 export still wins -- and still
+        # fails loudly under grad, like the other inference-only modes)
+        import os
+
+        os.environ.setdefault("MBEXWN_PALLAS_WN", "0")
         self.model = model
         self.hparams = hparams
         self.training_config = hparams["training_config"]

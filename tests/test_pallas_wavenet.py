@@ -124,3 +124,48 @@ def test_fused_stack_bf16_close_to_fp32():
     rel = np.sqrt(np.mean((np.asarray(skip16, np.float32) - np.asarray(skip_ref)) ** 2)
                   / np.mean(np.asarray(skip_ref) ** 2))
     assert rel < 0.05, rel
+
+
+def test_pallas_routing_auto(monkeypatch):
+    """MBEXWN_PALLAS_WN routing: explicit 1/0 win; default 'auto' selects the
+    fused kernel only for batch-1 programs on a real TPU backend."""
+    from mbexwn_vocoder_tpu.nn import wavenet as wn
+
+    monkeypatch.delenv("MBEXWN_PALLAS_WN", raising=False)
+    # auto on the CPU backend: never
+    assert wn._use_pallas_wavenet(batch=1) is False
+    assert wn._use_pallas_wavenet(batch=32) is False
+
+    # auto on a TPU backend: batch-1 only
+    monkeypatch.setattr(wn.jax, "default_backend", lambda: "tpu")
+    assert wn._use_pallas_wavenet(batch=1) is True
+    assert wn._use_pallas_wavenet(batch=32) is False
+    assert wn._use_pallas_wavenet() is False  # unknown batch -> conv
+
+    # explicit values win in both directions
+    monkeypatch.setenv("MBEXWN_PALLAS_WN", "0")
+    assert wn._use_pallas_wavenet(batch=1) is False
+    monkeypatch.setenv("MBEXWN_PALLAS_WN", "1")
+    assert wn._use_pallas_wavenet(batch=32) is True
+    monkeypatch.setenv("MBEXWN_PALLAS_WN", "")  # empty = conv (like fp32 env rule)
+    assert wn._use_pallas_wavenet(batch=1) is False
+
+
+def test_trainer_pins_pallas_off(monkeypatch):
+    """Trainer must pin the auto routing off in its process: the fused kernel
+    has no VJP, so a batch-1 grad trace selecting it would fail."""
+    import mbexwn_vocoder_tpu as mv
+    from mbexwn_vocoder_tpu.config import read_config
+    from mbexwn_vocoder_tpu.models import create_model
+    from mbexwn_vocoder_tpu.training import Trainer
+
+    monkeypatch.delenv("MBEXWN_PALLAS_WN", raising=False)
+    hp = read_config(mv.get_config_file("SPEECH"))
+    mc = hp["mbexwn_config"]
+    mc["pp_mod_subnet"]["n_channels"] = 32
+    mc["pp_mod_subnet"]["n_layers"] = 2
+    model, _ = create_model(hp, hp["training_config"], hp["preprocess_config"], quiet=True)
+    Trainer(model, hp)
+    import os
+
+    assert os.environ["MBEXWN_PALLAS_WN"] == "0"

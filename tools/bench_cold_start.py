@@ -36,6 +36,10 @@ def main():
 
     if args.mode == "pallas":
         os.environ["MBEXWN_PALLAS_WN"] = "1"
+    elif args.mode == "conv":
+        # pin the conv path: the default "auto" routing would pick the Pallas
+        # kernel for this batch-1 program on TPU and contaminate the A/B
+        os.environ["MBEXWN_PALLAS_WN"] = "0"
 
     from mbexwn_vocoder_tpu.platform import apply_platform_override
 
