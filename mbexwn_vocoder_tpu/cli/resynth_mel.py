@@ -13,7 +13,7 @@ import numpy as np
 
 
 def main(model_id, input_mell_files, output_dir, format="wav", verbose=False, seed=42,
-         quiet=False, use_gpu=False, num_threads=2, batch=1, pipeline=0):
+         quiet=False, use_gpu=False, num_threads=2, batch=8, pipeline=0):
     from .. import list_models
     from ..compat import iovar
     from ..compat.audio_io import write_wav
@@ -139,19 +139,21 @@ def cli():
     parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
                         help="serve files through a DEPTH-deep async pipeline "
                              "(overlaps device synthesis with readback/writes)")
-    parser.add_argument("--batch", type=int, default=1, metavar="B",
+    parser.add_argument("--batch", type=int, default=8, metavar="B",
                         help="with --pipeline: micro-batch up to B consecutive "
                              "same-length-bucket files into one device batch "
-                             "(throughput per file approaches the batched rate)")
+                             "(throughput per file approaches the batched rate); "
+                             "coalescing is on by default, --batch 1 opts out")
     parser.add_argument("-nt", "--cpu_threads", "--num_threads", type=int, default=None,
                         help="bound host CPU threads for fair CPU benchmarking "
                              "(reference default: 2; resynth_mel.py:61-62)")
     parser.add_argument("--precision", choices=("quality", "fast", "default"),
                         default="default",
                         help="compute precision: 'quality' forces fp32 everywhere "
-                             "(measured ~1.5 dB better mel-L1 on voiced content on "
-                             "real TPU MXUs, PERFORMANCE.md), 'fast' forces bf16 "
-                             "(~1.8x step rate), 'default' uses the model config "
+                             "(same-backend evals measure no mel-L1 cost for bf16 — "
+                             "PERFORMANCE.md dtype section — this is the belt-and-"
+                             "braces mode), 'fast' forces bf16 (~1.8x step rate), "
+                             "'default' uses the model config "
                              "(env MBEXWN_WN_DTYPE/MBEXWN_SUBNET_DTYPE still wins)")
     args = parser.parse_args()
     apply_precision(args.precision)

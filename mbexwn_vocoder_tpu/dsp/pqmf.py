@@ -16,8 +16,8 @@ import scipy.signal as ss
 
 def design_prototype_filter(taps: int = 62, cutoff_ratio: float = 0.15, beta: float = 9.0) -> np.ndarray:
     """Kaiser-windowed sinc low-pass prototype, length taps+1."""
-    assert taps % 2 == 0, "The number of taps must be an even number."
-    assert 0.0 < cutoff_ratio < 1.0, "Cutoff ratio must be > 0.0 and < 1.0."
+    assert taps % 2 == 0, f"taps must be even for a type-I linear-phase FIR, got {taps}"
+    assert 0.0 < cutoff_ratio < 1.0, f"cutoff_ratio out of (0, 1): {cutoff_ratio}"
 
     omega_c = np.pi * cutoff_ratio
     with np.errstate(invalid="ignore"):
@@ -66,7 +66,7 @@ def design_prototype_filter_differentiable(cutoff_ratio, taps: int = 62, beta: f
     import jax
     import jax.numpy as jnp
 
-    assert taps % 2 == 0, "The number of taps must be an even number."
+    assert taps % 2 == 0, f"taps must be even for a type-I linear-phase FIR, got {taps}"
     n = jnp.arange(taps + 1) - 0.5 * taps
     omega_c = jnp.pi * cutoff_ratio
     half = taps // 2

@@ -141,8 +141,8 @@ def fused_wavenet_group(x, cond, w_dil, b_dil, w_rs, b_rs, dils: Sequence[int],
     kernel = functools.partial(_group_kernel, tuple(int(d) for d in dils), tile_t, C, halo, T)
     grid = (B, nT)
     in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x padded, manual DMA
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cond padded, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x padded, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # cond padded, manual DMA
             pl.BlockSpec((1, tile_t, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_dil resident
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -11,8 +11,14 @@ backend) on the same code path that rides ICI/DCN on a TPU pod
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4").strip()
+# Two-process mode: 4 virtual devices per process -> 8 global.  The
+# MH_SINGLE=1 control leg is ONE process standing in for the whole cluster,
+# so it needs all 8 devices locally or the n_global assert below fails.
+_LOCAL_DEVICES = 8 if os.environ.get("MH_SINGLE") == "1" else 4
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_LOCAL_DEVICES}"
+).strip()
 # fp32: the parent compares losses across runs bit-tightly
 os.environ["MBEXWN_WN_DTYPE"] = ""
 os.environ["MBEXWN_SUBNET_DTYPE"] = ""

@@ -37,7 +37,7 @@ def test_pipeline_matches_blocking_path(small_model):
     model, params = small_model
     hop = model.spect_hop_size
     mels = _mels(4, [8, 8, 8, 8])
-    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=2)
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=2, batch=1)
     got = ps.map(mels)
     fn = ps._fn(8)
     for m, y in zip(mels, got):
@@ -53,7 +53,7 @@ def test_pipeline_mixed_lengths_and_order(small_model):
     hop = model.spect_hop_size
     lengths = [5, 12, 8, 3, 16]
     mels = _mels(5, lengths, seed=1)
-    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=3)
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16), depth=3, batch=1)
     got = ps.map(mels)
     assert [y.shape[0] for y in got] == [T * hop for T in lengths]
     # order: each result must equal its own utterance's blocking synthesis
@@ -75,7 +75,7 @@ def test_stream_is_incremental(small_model):
             consumed.append(i)
             yield m
 
-    ps = PipelinedSynthesizer(model, params, length_buckets=(8,), depth=2)
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8,), depth=2, batch=1)
     it = ps.stream(feed())
     next(it)
     assert len(consumed) == 2  # depth in flight, not the whole input list
@@ -101,6 +101,38 @@ def test_micro_batching_matches_per_utterance(small_model):
 
     with pytest.raises(ValueError):
         PipelinedSynthesizer(model, params, batch=0)
+
+
+def test_default_coalescing(small_model):
+    """Coalescing is the out-of-the-box behavior (VERDICT r3 #6): the default
+    constructor micro-batches concurrent same-bucket requests, while a single
+    request still dispatches as a batch-1 program (flush-at-end => one-item
+    group => bit-identical to the blocking path)."""
+    model, params = small_model
+    hop = model.spect_hop_size
+    ps = PipelinedSynthesizer(model, params, length_buckets=(8, 16))
+    assert ps.batch > 1  # coalescing on by default
+    assert ps.depth >= 2  # overlapped dispatch on by default
+
+    # 1) a single request is untouched: same program as the blocking path
+    (m,) = _mels(1, [8], seed=4)
+    got = ps.map([m])
+    ref = np.asarray(ps._fn(8)(params, m[None]))[0, : m.shape[0] * hop]
+    np.testing.assert_array_equal(got[0], ref)
+
+    # 2) 8 concurrent same-bucket requests coalesce into ONE dispatch group
+    dispatched = []
+    orig = ps._dispatch_group
+
+    def spy(group, T_pad):
+        dispatched.append(len(group))
+        return orig(group, T_pad)
+
+    ps._dispatch_group = spy
+    mels = _mels(8, [8] * 8, seed=5)
+    got = ps.map(mels)
+    assert dispatched == [8]
+    assert [y.shape[0] for y in got] == [8 * hop] * 8
 
 
 def test_warm_precompiles_buckets(small_model):

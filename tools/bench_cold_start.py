@@ -11,6 +11,14 @@ utterance at the 512-frame serving bucket.
                  this image's remote-compile relay; runtime parity)
   --mode warm    keep the repo .jax_cache (the warm-cache reference point)
 
+The round-3 lesson (PERFORMANCE.md cold-start section): the persistent cache
+keys on the exact traced program, so a cache warmed by bench.py/profile runs
+does NOT cover the MELInverter serving program — a "warm" leg only measures
+a true warm start if a previous run of THIS script (same mode, same shapes)
+populated the cache.  Recipe: run `--mode warm` twice; the first primes (and
+measures the miss), the second measures the real warm start.  --explain
+turns on jax_explain_cache_misses so a miss names the uncached computation.
+
 Prints one JSON line: {"mode", "time_to_first_audio_s", "synth_s", ...}.
 Run modes in separate processes with >=60 s between them (single-tenant TPU).
 """
@@ -32,6 +40,8 @@ def main():
     ap.add_argument("--mode", choices=("conv", "pallas", "warm"), required=True)
     ap.add_argument("--model", default="SPEECH")
     ap.add_argument("--frames", type=int, default=400, help="true mel length (bucket pads to 512)")
+    ap.add_argument("--explain", action="store_true",
+                    help="log persistent-cache misses (jax_explain_cache_misses)")
     args = ap.parse_args()
 
     if args.mode == "pallas":
@@ -52,6 +62,11 @@ def main():
         cache_dir = tempfile.mkdtemp(prefix="mbexwn_coldcache_")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.explain:
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception as e:
+            print(f"explain_cache_misses unavailable: {e}", file=sys.stderr)
 
     import numpy as np
 

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--n", type=int, default=16, help="number of utterances")
     ap.add_argument("--frames", type=int, default=400, help="mel frames per utterance (~5 s)")
     ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="micro-batch size (default: the PipelinedSynthesizer "
+                         "default, i.e. coalescing on)")
     args = ap.parse_args()
 
     import jax
@@ -49,9 +52,15 @@ def main():
     mels = [rng.randn(args.frames, 80).astype(np.float32) * 0.5 - 4.0 for _ in range(args.n)]
     audio_s = args.n * args.frames * hop / sr
 
+    kw = {} if args.batch is None else {"batch": args.batch}
     ps = PipelinedSynthesizer(inv.model, inv.params, length_buckets=inv.length_buckets,
-                              depth=args.depth)
-    ps.warm(buckets=[bucket])
+                              depth=args.depth, **kw)
+    # warm both the micro-batched and the flush-group shapes this run will hit
+    import jax.numpy as jnp
+    for b in sorted({min(ps.batch, args.n), args.n % ps.batch or ps.batch}):
+        y = ps._fn(bucket)(ps.params, jnp.asarray(
+            np.full((b, bucket, 80), -10.0, np.float32)))
+        np.asarray(y[0, :4])
 
     # blocking reference loop (shares the warmed jit cache via its own dict —
     # warm separately)
@@ -64,14 +73,40 @@ def main():
     outs_p = ps.map(mels)
     t_pipe = time.time() - t0
 
+    # device rate of the coalesced path: dispatch the same groups but read
+    # back only a 4-sample slice per group (the bench.py readback convention)
+    # — "effective device rate for N concurrent requests"
+    groups = [mels[i : i + ps.batch] for i in range(0, args.n, ps.batch)]
+    stacked = [np.stack(g, axis=0) for g in groups]
+    t0 = time.time()
+    ys = [ps._fn(bucket)(ps.params, jnp.asarray(s)) for s in stacked]
+    for y in ys:
+        np.asarray(y[0, :4])
+    t_dev = time.time() - t0
+
+    max_diff = 0.0
     for a, b in zip(outs, outs_p):
-        np.testing.assert_array_equal(np.asarray(a), b)
+        a = np.asarray(a)
+        assert a.shape == b.shape
+        max_diff = max(max_diff, float(np.max(np.abs(a - b))))
+    if ps.batch == 1:
+        # identical program => bit-identical output required
+        assert max_diff == 0.0, max_diff
+    else:
+        # batch-B program tiles convs differently than batch-1; outputs agree
+        # to accumulation-order noise (waveform scale ~1; bf16 compute noise
+        # through 24 conv layers can reach the 1e-2..1e-1 decade).  The exact
+        # diff is recorded in the JSON line; fp32 parity lives in the tests.
+        assert max_diff < 0.2, max_diff
 
     print(json.dumps({
         "metric": f"batch-1 serving ({args.n} x {args.frames * hop / sr:.1f}s utterances, full readback)",
         "blocking_rtf": round(audio_s / t_block, 1),
         "pipelined_rtf": round(audio_s / t_pipe, 1),
+        "device_rtf_coalesced": round(audio_s / t_dev, 1),
         "depth": args.depth,
+        "batch": ps.batch,
+        "max_abs_diff_vs_blocking": max_diff,
         "speedup": round(t_block / t_pipe, 2),
     }))
 

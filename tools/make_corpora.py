@@ -27,6 +27,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mbexwn_vocoder_tpu.training.synthetic import make_corpus
 
+# v3 training corpora (--v3): the round-4 quality lever.  Same natural
+# balance and distribution as v2, 10x the utterance count — the round-3
+# analysis showed held-out error is generalization-bound (train-set mel
+# loss ~2.1 dB vs 8.1-8.6 dB held-out from 160 utterances) and training
+# wall-time is corpus-size-independent at fixed steps.  Eval gates stay
+# the v2 + shifted sets so the numbers remain comparable across rounds.
+# The 480-utterance mid-size speech corpus is the middle point of the
+# corpus-size-vs-error curve (used if the curve flattens before the bar).
+V3_SPECS = [
+    ("synth_train_v3", 40, 1600, "speech"),
+    ("sing_train_v3", 41, 1600, "singing"),
+    ("voice_train_v3", 42, 1600, "mixed"),
+    ("synth_train_v3mid", 43, 480, "speech"),
+]
+
 # (name, seed, n, style) — natural balance, the current training/eval sets
 V2_SPECS = [
     ("synth_train_v2", 30, 160, "speech"),
@@ -65,6 +80,8 @@ def main():
     ap.add_argument("--root", default=".data")
     ap.add_argument("--shifted", action="store_true",
                     help="also build the out-of-distribution eval sets")
+    ap.add_argument("--v3", action="store_true",
+                    help="also build the 10x v3 training corpora (round-4 quality lever)")
     ap.add_argument("--legacy", action="store_true",
                     help="also build the v1 (unbalanced) corpora for pre-v2 provenance")
     args = ap.parse_args()
@@ -72,6 +89,11 @@ def main():
         out = os.path.join(args.root, name)
         paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
         print(f"{out}: {len(paths)} utterances ({style}, seed {seed})")
+    if args.v3:
+        for name, seed, n, style in V3_SPECS:
+            out = os.path.join(args.root, name)
+            paths = make_corpus(out, n_utterances=n, seed=seed, style=style, quiet=True)
+            print(f"{out}: {len(paths)} utterances ({style}, seed {seed}, v3)", flush=True)
     if args.shifted:
         for name, seed, n, style in SHIFTED_SPECS:
             out = os.path.join(args.root, name)

@@ -67,10 +67,14 @@ def main():
 
     mean_db = float(np.mean([r["mel_L1_dB"] for r in rows]))
     blk = getattr(inv.model, "block", None)
+    # blk.*_compute_dtype is the RESOLVED value (env > config precedence,
+    # models/mbexwn.py::_dtype_pref); None means "compute in param dtype",
+    # i.e. float32 — record that explicitly so the artifact alone proves
+    # which dtype actually applied (advisor round-3 finding).
     report = {"model": args.model, "n_files": len(rows), "mean_mel_L1_dB": round(mean_db, 3),
               "platform": _jax.devices()[0].platform,
-              "wn_compute_dtype": str(getattr(blk, "wn_compute_dtype", None)),
-              "subnet_compute_dtype": str(getattr(blk, "subnet_compute_dtype", None)),
+              "wn_compute_dtype": str(getattr(blk, "wn_compute_dtype", None) or "float32"),
+              "subnet_compute_dtype": str(getattr(blk, "subnet_compute_dtype", None) or "float32"),
               "eval_dir": args.eval_dir,
               "files": rows}
     print(json.dumps(report))

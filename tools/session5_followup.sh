@@ -27,8 +27,11 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
     say "step $name: $*"
     timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
-    say "step $name exit $?"
-    sleep "$COOLDOWN_S"
+    local rc=$?
+    say "step $name exit $rc"
+    # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
+    # count) needs a >=120 s quiet period before the next claimant.
+    if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
     return 0
 }
 

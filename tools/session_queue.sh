@@ -38,7 +38,9 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
     local rc=$?
     say "step $name exit $rc"
-    sleep "$COOLDOWN_S"
+    # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
+    # count) needs a >=120 s quiet period before the next claimant.
+    if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
     return 0
 }
 

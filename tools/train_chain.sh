@@ -14,6 +14,10 @@ cd "$(dirname "$0")/.."
 STEPS=${STEPS:-20000}
 COOLDOWN_S=${COOLDOWN_S:-100}
 MODELS=${MODELS:-"SING SPEECH VOICE"}
+# CORPUS selects the training-set generation (v2 = 160 utt, v3 = 1600 utt,
+# round-4 quality lever).  Eval gates stay the v2 + shifted sets either way
+# so quality reports remain comparable across corpus generations.
+CORPUS=${CORPUS:-v3}
 QDIR=.runs/chain
 mkdir -p "$QDIR"
 
@@ -23,14 +27,21 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
     say "step $name: $*"
     timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
-    say "step $name exit $?"
-    sleep "$COOLDOWN_S"
+    local rc=$?
+    say "step $name exit $rc"
+    # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
+    # count) needs a >=120 s quiet period before the next claimant.
+    if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
     return 0
 }
 
 train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <dest>
     local model=$1 train_dir=$2 eval_dir=$3 shift_dir=$4 run=$5 dest=$6
     local log="$run.log" pidfile="$run.pid"
+    if [ ! -d "$train_dir" ]; then
+        say "$model: train dir $train_dir missing; skipping"
+        return 1
+    fi
     mkdir -p "$run"
 
     say "=== $model: training $STEPS steps on $train_dir -> $run ==="
@@ -67,14 +78,14 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
 for m in $MODELS; do
     case "$m" in
     SING)
-        train_one SING  .data/sing_train_v2  .data/sing_eval_v2  .data/sing_eval_shift \
-            .runs/sing_v2  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
+        train_one SING  ".data/sing_train_$CORPUS"  .data/sing_eval_v2  .data/sing_eval_shift \
+            ".runs/sing_$CORPUS"  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
     SPEECH)
-        train_one SPEECH .data/synth_train_v2 .data/synth_eval_v2 .data/synth_eval_shift \
-            .runs/speech_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
+        train_one SPEECH ".data/synth_train_$CORPUS" .data/synth_eval_v2 .data/synth_eval_shift \
+            ".runs/speech_$CORPUS" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
     VOICE)
-        train_one VOICE .data/voice_train_v2 .data/voice_eval_v2 .data/voice_eval_shift \
-            .runs/voice_v2 mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
+        train_one VOICE ".data/voice_train_$CORPUS" .data/voice_eval_v2 .data/voice_eval_shift \
+            ".runs/voice_$CORPUS" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
     *) say "unknown model '$m'" ;;
     esac
 done
