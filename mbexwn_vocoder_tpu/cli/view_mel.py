@@ -80,24 +80,36 @@ def main(infiles, model_id="VOICE", output=None, diff_mel=False, max_atten=50, c
         import matplotlib.pyplot as plt
 
         n = len(mels) + (1 if (diff_mel and len(mels) >= 2) else 0) + (len(snds) if plot_snds else 0)
-        fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False)
+        # sharex: every panel (mels, waveforms, diff) rides the same seconds
+        # axis, so interactive zoom/pan stays synchronized across files — the
+        # comparison affordance of the reference viewer (bin/view_mel.py:43-162)
+        fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False, sharex=True)
+        sr = preprocess_config["sample_rate"]
+        frame_s = preprocess_config["hop_size"] / sr
         for i, (f, mell) in enumerate(mels):
             mdb = log_to_db * mell.T
             vmax = np.max(mdb)
-            axes[i][0].imshow(mdb, origin="lower", aspect="auto", vmin=vmax - max_atten, vmax=vmax)
+            im = axes[i][0].imshow(mdb, origin="lower", aspect="auto",
+                                   vmin=vmax - max_atten, vmax=vmax,
+                                   extent=(0.0, mell.shape[0] * frame_s, 0, mell.shape[1]))
             axes[i][0].set_title(os.path.basename(f))
+            axes[i][0].set_ylabel("mel band")
+            fig.colorbar(im, ax=axes[i][0], label="dB")
         row = len(mels)
         if plot_snds:
             # waveform panels (reference bin/view_mel.py:116-146 second figure)
             for f, snd in snds.items():
-                axes[row][0].plot(np.arange(snd.shape[0]) / preprocess_config["sample_rate"], snd)
+                axes[row][0].plot(np.arange(snd.shape[0]) / sr, snd)
                 axes[row][0].set_title(f"snd {os.path.basename(f)}")
                 row += 1
         if diff_mel and len(mels) >= 2:
             T = min(m.shape[0] for _, m in mels)
             dd = log_to_db * (mels[0][1][:T] - mels[1][1][:T]).T
-            axes[row][0].imshow(dd, origin="lower", aspect="auto")
+            im = axes[row][0].imshow(dd, origin="lower", aspect="auto",
+                                     extent=(0.0, T * frame_s, 0, dd.shape[0]))
             axes[row][0].set_title("diff (dB)")
+            fig.colorbar(im, ax=axes[row][0], label="dB")
+        axes[-1][0].set_xlabel("time (s)")
         fig.tight_layout()
         if output:
             fig.savefig(output)

@@ -144,6 +144,31 @@ def test_synth_scan_matches_one_shot(model_params):
     assert sum(1 for k in ss._jitted if k[0] == "scan") == 1
 
 
+def test_synth_scan_pallas_stack(model_params):
+    """The fused Pallas WaveNet stack inside the synth_scan body (interpret
+    mode on CPU; on TPU the b1 auto-routing selects this same path inside the
+    scan, which is how single-stream long-form runs) == the conv path."""
+    model, params = model_params
+    rng = np.random.RandomState(11)
+    T = 96
+    mell = (rng.randn(1, T, 80) * 0.5 - 4).astype(np.float32)
+
+    ss = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+    y_conv = ss.synth_scan(mell)
+
+    import os
+
+    os.environ["MBEXWN_PALLAS_WN"] = "1"
+    try:
+        ss_p = StreamingSynthesizer(model, params, chunk_frames=32, halo_frames=16)
+        y_pal = ss_p.synth_scan(mell)
+    finally:
+        os.environ.pop("MBEXWN_PALLAS_WN", None)
+    assert y_pal.shape == y_conv.shape
+    rel = np.sqrt(np.mean((y_pal - y_conv) ** 2) / (np.mean(y_conv**2) + 1e-12))
+    assert rel < 2e-3, rel
+
+
 def test_synth_batched_multi_utterance(model_params):
     """synth_batched with B>1 equals the same utterances run individually."""
     model, params = model_params
