@@ -185,13 +185,31 @@ def fused_wavenet_group(x, cond, w_dil, b_dil, w_rs, b_rs, dils: Sequence[int],
 
 
 def fused_wavenet_stack(x, cond, layer_weights, dils: Sequence[int], group_size: int = 4,
-                        interpret: bool = False):
+                        interpret: bool = False, tile_t: int = 0):
     """Full stack: split `dils` into groups of `group_size` fused calls.
 
     layer_weights: list of (w_dil (3,C,2C), b_dil (2C), w_rs (C,Cout), b_rs (Cout))
     per layer; the last layer may be skip-only (Cout == C) and is zero-padded
     into the uniform (C, 2C) form.  Returns the summed skip (B, T, C).
+
+    Tuning knobs (benchmark experiments; defaults are the measured-best b1
+    serving configuration): MBEXWN_PALLAS_GROUP overrides group_size — fewer
+    layers per group shrinks the halo-recompute overhead of high-dilation
+    groups at the cost of one extra x/skip HBM round trip per split;
+    MBEXWN_PALLAS_TILE overrides the time-tile row count (must divide the
+    stack's T or it falls back to auto) — larger tiles amortize the halo.
     """
+    import os
+
+    env_group = os.environ.get("MBEXWN_PALLAS_GROUP", "").strip()
+    if env_group.isdigit() and int(env_group) > 0:
+        group_size = int(env_group)
+    env_tile = os.environ.get("MBEXWN_PALLAS_TILE", "").strip()
+    if env_tile.isdigit() and int(env_tile) > 0:
+        t = int(env_tile)
+        if x.shape[1] % t == 0:
+            tile_t = t
+
     B, T, C = x.shape
     L = len(dils)
     skip = None
@@ -209,6 +227,6 @@ def fused_wavenet_stack(x, cond, layer_weights, dils: Sequence[int], group_size:
             br_list.append(br)
         x, skip = fused_wavenet_group(
             x, cond, wd, bd, jnp.stack(wr_list), jnp.stack(br_list),
-            [dils[l] for l in gl], skip_in=skip, interpret=interpret,
+            [dils[l] for l in gl], skip_in=skip, interpret=interpret, tile_t=tile_t,
         )
     return skip

@@ -80,6 +80,22 @@ def test_fused_group_unaligned_cond_lanes():
     np.testing.assert_allclose(np.asarray(skip_out), np.asarray(skip_ref), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_stack_tuning_knobs(monkeypatch):
+    """MBEXWN_PALLAS_GROUP / MBEXWN_PALLAS_TILE change only the schedule,
+    never the result; a tile that does not divide T falls back to auto."""
+    rng = np.random.RandomState(4)
+    dils = (1, 2, 4, 8, 1, 2)
+    x, cond, weights = _make_case(rng, B=1, T=256, C=8, dils=dils)
+    ref = np.asarray(fused_wavenet_stack(x, cond, weights, dils, group_size=4, interpret=True))
+    monkeypatch.setenv("MBEXWN_PALLAS_GROUP", "2")
+    monkeypatch.setenv("MBEXWN_PALLAS_TILE", "64")
+    got = np.asarray(fused_wavenet_stack(x, cond, weights, dils, group_size=4, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    monkeypatch.setenv("MBEXWN_PALLAS_TILE", "100")  # does not divide 256 -> auto
+    got2 = np.asarray(fused_wavenet_stack(x, cond, weights, dils, group_size=4, interpret=True))
+    np.testing.assert_allclose(got2, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_stack_matches_xla_with_tiling_and_skip_only_tail():
     """12 layers in 3 groups, T split into multiple tiles, last layer
     skip-only -- the flagship configuration's structure."""

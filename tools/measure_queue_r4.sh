@@ -48,6 +48,16 @@ run_step warm2 1200 python tools/bench_cold_start.py --mode warm
 run_step longform 3600 python bench.py --longform
 run_step chunk_sweep 3600 python bench.py --longform --chunk_sweep
 run_step serving 1800 python tools/bench_serving.py --n 16 --frames 400
+
+# b32 Pallas schedule experiments (headline push): the auto default routes
+# b32 to the XLA conv path (Pallas measured -9% there with the b1-tuned
+# schedule). These legs test whether a different group/tile schedule beats
+# the conv stack at b32; bench.py --one prints step_ms for the 32x128 shape.
+run_step pallas_b32_default 1200 env MBEXWN_PALLAS_WN=1 python bench.py --one 32 128
+run_step pallas_b32_g2 1200 env MBEXWN_PALLAS_WN=1 MBEXWN_PALLAS_GROUP=2 python bench.py --one 32 128
+run_step pallas_b32_t1600 1200 env MBEXWN_PALLAS_WN=1 MBEXWN_PALLAS_TILE=1600 python bench.py --one 32 128
+run_step pallas_b32_g2_t1600 1200 env MBEXWN_PALLAS_WN=1 MBEXWN_PALLAS_GROUP=2 MBEXWN_PALLAS_TILE=1600 python bench.py --one 32 128
+
 run_step bench 2400 python bench.py
 
 say "measure-r4 queue complete"
