@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--fp32", action="store_true", help="keep fp32 weights (no distribution downcast)")
     ap.add_argument("--take-run-config", action="store_true",
                     help="replace an existing registry config.yaml with the run's config")
+    ap.add_argument("--force", action="store_true",
+                    help="publish even if the new quality report is worse than the "
+                         "registry's existing report on the same eval set")
     args = ap.parse_args()
 
     src_weights = os.path.join(args.run, "weights.npz")
@@ -46,6 +49,29 @@ def main():
     dest = args.dest
     if dest is None:
         raise SystemExit("--dest is required (registry model dir)")
+
+    # no-downgrade guard: an unattended retrain chain must never replace a
+    # better checkpoint with a worse one.  Compare means only against an
+    # existing registry report measured on the SAME eval set (the registry
+    # may carry reports from different gate generations, e.g. the v1-gate
+    # quality_report.json next to quality_report_v2gate.json).
+    if args.report and os.path.exists(args.report) and not args.force:
+        new_rep = json.load(open(args.report))
+        for name in ("quality_report.json", "quality_report_v2gate.json"):
+            old_path = os.path.join(dest, name)
+            if not os.path.exists(old_path):
+                continue
+            old_rep = json.load(open(old_path))
+            if old_rep.get("eval_dir") != new_rep.get("eval_dir"):
+                continue
+            if new_rep["mean_mel_L1_dB"] > old_rep["mean_mel_L1_dB"]:
+                raise SystemExit(
+                    f"refusing to downgrade {dest}: new mean "
+                    f"{new_rep['mean_mel_L1_dB']} dB > published "
+                    f"{old_rep['mean_mel_L1_dB']} dB on {old_rep.get('eval_dir')} "
+                    f"({name}).  Pass --force to publish anyway."
+                )
+
     os.makedirs(dest, exist_ok=True)
 
     params = load_params(src_weights)
@@ -80,6 +106,15 @@ def main():
 
     if args.report and os.path.exists(args.report):
         shutil.copyfile(args.report, os.path.join(dest, "quality_report.json"))
+        # a *_v2gate companion that re-measured the PREVIOUS weights on this
+        # same eval set is superseded by the new primary report (the history
+        # stays in git + PERFORMANCE.md; a report describing replaced weights
+        # must not sit next to the new ones)
+        v2gate = os.path.join(dest, "quality_report_v2gate.json")
+        if os.path.exists(v2gate):
+            new_rep = json.load(open(args.report))
+            if json.load(open(v2gate)).get("eval_dir") == new_rep.get("eval_dir"):
+                os.remove(v2gate)
         # ship the companion evidence reports when the eval produced them:
         # forced-fp32 (dtype-cost isolation) and the shifted out-of-
         # distribution set (generalization leg of the quality gate)
