@@ -95,13 +95,37 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
 
     model_summary(model, state.params, T_mel=T_mel, print_fn=lambda s: print(s, file=sys.stderr))
 
-    dataset = SegmentDataset(data_dir, pc, seed=seed)
+    # offset the data/noise streams by the resume step: a resumed leg (see
+    # train_chain.sh leg restarts) must not replay the exact segment sequence
+    # the previous leg already trained on
+    data_seed = seed + int(state.step)
+    dataset = SegmentDataset(data_dir, pc, seed=data_seed)
     loader = PrefetchLoader(dataset, batch_size, num_workers=num_workers)
     logger = MetricsLogger(os.path.join(output_dir, cc.get("log_dir", "logs")))
 
     step_fn = trainer.jitted_train_step()
-    rng = jax.random.PRNGKey(seed + 1)
+    rng = jax.random.PRNGKey(data_seed + 1)
     t_last = time.time()
+    # Host-memory note (axon relay backend, measured 2026-08-20): the runtime
+    # retains ~7 MB of host memory PER TRAINING STEP (~= the uploaded batch;
+    # its async-enqueue bookkeeping), and neither gc.collect() nor explicitly
+    # .delete()-ing the input/metric arrays after the step releases it — a
+    # single 20k-step process OOMs a 125 GB host around step 13k.  The
+    # mitigation lives in tools/train_chain.sh: train in process LEGS that
+    # resume from the Orbax checkpoint, bounding RSS per leg.  The rss=
+    # field in the log line keeps the growth visible; MBEXWN_GC_EVERY stays
+    # as a knob for non-relay backends.
+    import gc
+
+    gc_every = int(os.environ.get("MBEXWN_GC_EVERY", "200") or 0)
+
+    def _rss_gb() -> float:
+        try:
+            with open("/proc/self/statm") as f:
+                return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+        except Exception:
+            return 0.0
+
     try:
         for batch in loader:
             if int(state.step) >= steps:
@@ -120,7 +144,10 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
                 dt = time.time() - t_last
                 t_last = time.time()
                 loss_str = " ".join(f"{k}:{v:7.4f}" for k, v in sorted(m.items()))
-                print(f"step {step:7d} ({dt:5.1f}s/{log_every}) {loss_str}", file=sys.stderr)
+                print(f"step {step:7d} ({dt:5.1f}s/{log_every}) rss={_rss_gb():.1f}G {loss_str}",
+                      file=sys.stderr)
+            if gc_every and step % gc_every == 0:
+                gc.collect()
             if step % save_every == 0:
                 ckpt.save(step, state)
     finally:

@@ -12,6 +12,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 STEPS=${STEPS:-20000}
+LEG_STEPS=${LEG_STEPS:-5000}
 COOLDOWN_S=${COOLDOWN_S:-100}
 MODELS=${MODELS:-"SING SPEECH VOICE"}
 # CORPUS selects the training-set generation (v2 = 160 utt, v3 = 1600 utt,
@@ -37,29 +38,42 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
 
 train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <dest>
     local model=$1 train_dir=$2 eval_dir=$3 shift_dir=$4 run=$5 dest=$6
-    local log="$run.log" pidfile="$run.pid"
+    local pidfile="$run.pid"
     if [ ! -d "$train_dir" ]; then
         say "$model: train dir $train_dir missing; skipping"
         return 1
     fi
     mkdir -p "$run"
 
-    say "=== $model: training $STEPS steps on $train_dir -> $run ==="
-    nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
-        --steps "$STEPS" --num_workers 3 > "$log" 2>&1 < /dev/null &
-    echo $! > "$pidfile"
+    # Train in process LEGS of LEG_STEPS each, resuming from the Orbax
+    # checkpoint between legs: the relay runtime retains ~7 MB of host
+    # memory per enqueued step (measured 2026-08-20; unaffected by gc or
+    # explicit buffer deletes), so one 20k-step process OOMs a 125 GB host
+    # around step 13k.  A leg exits cleanly at its --steps target (printing
+    # the export marker), bounding RSS to ~LEG_STEPS * 7 MB + model.
+    local legs
+    legs=$(seq "$LEG_STEPS" "$LEG_STEPS" "$STEPS")
+    case " $legs " in *" $STEPS "*) ;; *) legs="$legs $STEPS" ;; esac
+    local tgt
+    for tgt in $legs; do
+        local log="$run.leg$tgt.log"
+        say "=== $model: training to step $tgt/$STEPS on $train_dir -> $run ==="
+        nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
+            --steps "$tgt" --num_workers 3 > "$log" 2>&1 < /dev/null &
+        echo $! > "$pidfile"
 
-    # watchdog blocks until the done marker appears (restarting through
-    # relay wedges), or gives up after MAX_RESTARTS
-    tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
-        python bin/train.py "$model" -d "$train_dir" -o "$run" \
-        --steps "$STEPS" --num_workers 3 2>> "$run.watchdog.log"
-    if ! grep -q "exported inference model to" "$log" 2>/dev/null; then
-        say "$model: trainer never finished; skipping eval/publish"
-        return 1
-    fi
-    say "$model: training done; cooling down ${COOLDOWN_S}s"
-    sleep "$COOLDOWN_S"
+        # watchdog blocks until the done marker appears (restarting through
+        # relay wedges), or gives up after MAX_RESTARTS
+        tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
+            python bin/train.py "$model" -d "$train_dir" -o "$run" \
+            --steps "$tgt" --num_workers 3 2>> "$run.watchdog.log"
+        if ! grep -q "exported inference model to" "$log" 2>/dev/null; then
+            say "$model: leg to step $tgt never finished; skipping eval/publish"
+            return 1
+        fi
+        say "$model: leg to step $tgt done; cooling down ${COOLDOWN_S}s"
+        sleep "$COOLDOWN_S"
+    done
 
     run_step "${model}_eval" 2700 python tools/quality_eval.py \
         --model "$run" --eval_dir "$eval_dir" --out "$run/quality_report.json"
