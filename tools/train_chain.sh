@@ -77,14 +77,27 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
 
     run_step "${model}_eval" 2700 python tools/quality_eval.py \
         --model "$run" --eval_dir "$eval_dir" --out "$run/quality_report.json"
-    run_step "${model}_eval_fp32" 2700 env MBEXWN_WN_DTYPE= MBEXWN_SUBNET_DTYPE= \
-        python tools/quality_eval.py --model "$run" --eval_dir "$eval_dir" \
-        --out "$run/quality_report_fp32.json"
+    # SKIP_FP32=1 drops the fp32 companion eval (the fp32==bf16 quality
+    # equivalence is already established; saves ~15 min of TPU per model
+    # when the session is wall-clock bound).
+    if [ "${SKIP_FP32:-0}" != "1" ]; then
+        run_step "${model}_eval_fp32" 2700 env MBEXWN_WN_DTYPE= MBEXWN_SUBNET_DTYPE= \
+            python tools/quality_eval.py --model "$run" --eval_dir "$eval_dir" \
+            --out "$run/quality_report_fp32.json"
+    fi
     run_step "${model}_eval_shift" 2700 python tools/quality_eval.py \
         --model "$run" --eval_dir "$shift_dir" --out "$run/quality_report_shift.json"
     if [ -s "$run/quality_report.json" ]; then
         run_step "${model}_publish" 600 python tools/publish_model.py --run "$run" \
             --report "$run/quality_report.json" --dest "$dest"
+        # AUTOCOMMIT=1: commit the registry immediately after a successful
+        # publish so a workspace reset between sessions cannot lose a
+        # trained model (the .runs/ checkpoints are gitignored and were
+        # lost exactly this way on 2026-08-20).
+        if [ "${AUTOCOMMIT:-0}" = "1" ] && [ -n "$(git status --porcelain "$dest")" ]; then
+            git add "$dest" && git commit -q -m "Publish $model $CORPUS-corpus checkpoint (train_chain autocommit)" \
+                && say "$model: registry committed" || say "$model: autocommit failed"
+        fi
     fi
     return 0
 }
