@@ -118,10 +118,17 @@ def main():
         # ship the companion evidence reports when the eval produced them:
         # forced-fp32 (dtype-cost isolation) and the shifted out-of-
         # distribution set (generalization leg of the quality gate)
+        # a companion that was NOT regenerated for these weights describes the
+        # replaced checkpoint and must not sit next to the new ones — same
+        # rule as the v2gate companion above (it can be re-shipped later by
+        # copying it into dest once the eval runs).
         for suffix in ("_fp32", "_shift"):
             side = args.report.replace(".json", f"{suffix}.json")
+            dst_side = os.path.join(dest, f"quality_report{suffix}.json")
             if side != args.report and os.path.exists(side):
-                shutil.copyfile(side, os.path.join(dest, f"quality_report{suffix}.json"))
+                shutil.copyfile(side, dst_side)
+            elif os.path.exists(dst_side):
+                os.remove(dst_side)
 
     sizes = {os.path.basename(p): f"{os.path.getsize(p) / 1e6:.1f} MB"
              for p in (dst_weights,)}

@@ -85,8 +85,9 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
             python tools/quality_eval.py --model "$run" --eval_dir "$eval_dir" \
             --out "$run/quality_report_fp32.json"
     fi
-    run_step "${model}_eval_shift" 2700 python tools/quality_eval.py \
-        --model "$run" --eval_dir "$shift_dir" --out "$run/quality_report_shift.json"
+    # Publish directly after the primary eval (shift eval follows): if the
+    # session is cut off mid-chain the trained weights are already in the
+    # tracked registry instead of stranded in gitignored .runs/.
     if [ -s "$run/quality_report.json" ]; then
         run_step "${model}_publish" 600 python tools/publish_model.py --run "$run" \
             --report "$run/quality_report.json" --dest "$dest"
@@ -97,6 +98,17 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
         if [ "${AUTOCOMMIT:-0}" = "1" ] && [ -n "$(git status --porcelain "$dest")" ]; then
             git add "$dest" && git commit -q -m "Publish $model $CORPUS-corpus checkpoint (train_chain autocommit)" \
                 && say "$model: registry committed" || say "$model: autocommit failed"
+        fi
+    fi
+    run_step "${model}_eval_shift" 2700 python tools/quality_eval.py \
+        --model "$run" --eval_dir "$shift_dir" --out "$run/quality_report_shift.json"
+    # ship the shifted-OOD companion next to the published weights (only if
+    # this model's new weights actually were published above)
+    if [ -s "$run/quality_report_shift.json" ] && [ -n "$(find "$dest/weights.npz" -newer "$run/quality_report.json" 2>/dev/null)" ]; then
+        cp "$run/quality_report_shift.json" "$dest/quality_report_shift.json"
+        if [ "${AUTOCOMMIT:-0}" = "1" ] && [ -n "$(git status --porcelain "$dest")" ]; then
+            git add "$dest" && git commit -q -m "Ship $model $CORPUS shifted-OOD companion report" \
+                && say "$model: shift report committed" || say "$model: shift autocommit failed"
         fi
     fi
     return 0
