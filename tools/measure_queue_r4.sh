@@ -33,10 +33,24 @@ sleep "$COOLDOWN_S"
 
 run_step() {  # run_step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
+    # DEADLINE_TS (epoch seconds): don't START a new leg past the deadline —
+    # the driver's end-of-round bench needs the single-tenant TPU free, and
+    # a leg launched too late would wedge-collide with it.
+    if [ -n "${DEADLINE_TS:-}" ] && [ "$(date +%s)" -gt "$DEADLINE_TS" ]; then
+        say "step $name SKIPPED (past deadline)"
+        return 0
+    fi
     say "step $name: $*"
     timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
     local rc=$?
     say "step $name exit $rc"
+    # AUTOCOMMIT=1: the measurement logs live in gitignored .runs/ and a
+    # workspace reset between sessions destroys them (it happened to this
+    # exact queue on 2026-08-20) — force-track each leg's log as it lands.
+    if [ "${AUTOCOMMIT:-0}" = "1" ]; then
+        git add -f "$QDIR/$name.log" >/dev/null 2>&1 && \
+            git commit -q -m "measure-r4: $name leg log" >/dev/null 2>&1 || true
+    fi
     # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
     # count) needs a >=120 s quiet period before the next claimant.
     if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
