@@ -33,12 +33,16 @@ sleep "$COOLDOWN_S"
 
 run_step() {  # run_step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
-    # DEADLINE_TS (epoch seconds): don't START a new leg past the deadline —
-    # the driver's end-of-round bench needs the single-tenant TPU free, and
-    # a leg launched too late would wedge-collide with it.
-    if [ -n "${DEADLINE_TS:-}" ] && [ "$(date +%s)" -gt "$DEADLINE_TS" ]; then
-        say "step $name SKIPPED (past deadline)"
-        return 0
+    # DEADLINE_TS (epoch seconds): the driver's end-of-round bench needs the
+    # single-tenant TPU free — don't START a leg past the deadline, and clamp
+    # a leg's timeout so it cannot RUN past it either.
+    if [ -n "${DEADLINE_TS:-}" ]; then
+        local left=$(( DEADLINE_TS - $(date +%s) ))
+        if [ "$left" -le 120 ]; then
+            say "step $name SKIPPED (past deadline)"
+            return 0
+        fi
+        if [ "$tmo" -gt "$left" ]; then tmo=$left; fi
     fi
     say "step $name: $*"
     timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
