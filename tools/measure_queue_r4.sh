@@ -61,11 +61,14 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     return 0
 }
 
+# Leg order = judge-item priority under a deadline: cold-start recipe
+# (r3 #3), longform single-stream (r3 #5), serving coalescing row (r3 #6),
+# then the secondary chunk sweep and schedule experiments.
 run_step warm1 1800 python tools/bench_cold_start.py --mode warm --explain
 run_step warm2 1200 python tools/bench_cold_start.py --mode warm
 run_step longform 3600 python bench.py --longform
-run_step chunk_sweep 3600 python bench.py --longform --chunk_sweep
 run_step serving 1800 python tools/bench_serving.py --n 16 --frames 400
+run_step chunk_sweep 3600 python bench.py --longform --chunk_sweep
 
 # b32 Pallas schedule experiments (headline push): the auto default routes
 # b32 to the XLA conv path (Pallas measured -9% there with the b1-tuned
