@@ -342,19 +342,37 @@ if __name__ == "__main__":
             from mbexwn_vocoder_tpu.parallel import StreamingSynthesizer as _SS
             import numpy as _np
 
+            import jax.numpy as _jnp
+
             hop = _model.spect_hop_size
             T = int(60 * _model.sample_rate / hop)
-            mell = (_np.random.RandomState(0).randn(1, T, 80) * 0.5 - 4).astype(_np.float32)
+            # device-rate methodology (same as bench_longform's scan_rtf):
+            # distinct inputs + fixed iteration count + 4-float slice sync —
+            # synth_scan()'s full readback would drown every chunk size in
+            # the ~10 MB/s relay transfer (and identical repeated inputs get
+            # deduped by the relay's async-enqueue cache)
+            rng = _np.random.RandomState(0)
+            mells = [(rng.randn(1, T, 80) * 0.5 - 4).astype(_np.float32) for _ in range(2)]
             rows = {}
             for cf in (128, 256, 512, 1024):
                 ss = _SS(_model, _params, chunk_frames=cf, halo_frames=48)
-                y = ss.synth_scan(mell)  # warm/compile
+                n_chunks = -(-T // cf)
+                h = 48
+                halos = [_np.pad(m, ((0, 0), (h, n_chunks * cf - T + h), (0, 0)), mode="edge")
+                         for m in mells]
+                fn = ss._scan_fn(n_chunks, 1)
+                dev = [(_jnp.asarray(m), _jnp.asarray(mh)) for m, mh in zip(mells, halos)]
+                y = fn(_params, *dev[0])
+                _np.asarray(y.ravel()[:4])  # compile + sync
+                iters = 3
                 t0 = time.time()
-                y = ss.synth_scan(mell)
-                dt = time.time() - t0
+                for i in range(iters):
+                    y = fn(_params, *dev[i % len(dev)])
+                _np.asarray(y.ravel()[:4])
+                dt = (time.time() - t0) / iters
                 rows[cf] = {"rtf": round(T * hop / _model.sample_rate / dt, 1),
                             "latency_s": round(cf * hop / _model.sample_rate, 2)}
-            print(json.dumps({"metric": "streaming chunk sweep (60s, scan)", "rows": rows}))
+            print(json.dumps({"metric": "streaming chunk sweep (60s, scan, device rate)", "rows": rows}))
         else:
             res = bench_longform(_model, _params)
             best = max(res["scan_rtf"], res["capacity_rtf"])
