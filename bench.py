@@ -133,8 +133,9 @@ def bench_longform(model, params, seconds=60, chunk_frames=512, halo_frames=48,
 
     # streaming capacity: B concurrent bounded-latency streams in one scan
     # (measured sweep on the flagship SPEECH config: 8 streams -> 497x,
-    #  16 -> 650x aggregate; 16 keeps per-chunk latency under the chunk span)
-    B_cap = 16
+    #  16 -> 650x aggregate; 16 keeps per-chunk latency under the chunk span;
+    #  32 OOMs HBM.  MBEXWN_CAP_STREAMS probes other counts, e.g. 24.)
+    B_cap = int(os.environ.get("MBEXWN_CAP_STREAMS", "16"))
     mells_b = [(rng.randn(B_cap, T, 80) * 0.5 - 4.0).astype(np.float32) for _ in range(n_in)]
     halos_b = [np.pad(m, ((0, 0), (h, n_chunks * chunk_frames - T + h), (0, 0)), mode="edge")
                for m in mells_b]
