@@ -12,7 +12,8 @@ import time
 
 
 def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices=1,
-         save_every=None, log_every=50, seed=42, cargs=None, resume=True, num_workers=2):
+         save_every=None, log_every=50, seed=42, cargs=None, resume=True, num_workers=2,
+         init_from=None, init_step=0):
     import numpy as np
 
     import jax
@@ -69,6 +70,34 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
             state = restored
             resumed = True
             print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    # warm start: continue training from published inference weights (.npz)
+    # when the Orbax training state is gone (e.g. a workspace reset wiped the
+    # gitignored run dir but the registry checkpoint survived).  Fresh
+    # optimizer moments; `init_step` keeps the step-keyed pieces (loss
+    # schedules, leg targets, data-stream offset) on the original timeline.
+    # An existing Orbax checkpoint takes precedence.
+    if (not resumed) and init_from:
+        from ..compat.params_io import load_params
+        from ..training.trainer import TrainState
+
+        warm = jax.tree_util.tree_map(jnp.asarray, load_params(init_from))
+        ref_struct = jax.tree_util.tree_structure(state.params)
+        if jax.tree_util.tree_structure(warm) != ref_struct:
+            raise RuntimeError(
+                f"--init_from {init_from}: parameter tree structure does not "
+                f"match this config's model")
+        mismatch = [
+            p for p, (a, b) in zip(
+                (jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_flatten_with_path(warm)[0]),
+                zip(jax.tree_util.tree_leaves(warm), jax.tree_util.tree_leaves(state.params)))
+            if a.shape != b.shape]
+        if mismatch:
+            raise RuntimeError(f"--init_from {init_from}: shape mismatch at {mismatch[:4]}")
+        state = TrainState(params=warm, opt_state=trainer.optimizer.init(warm),
+                           step=jnp.int32(init_step))
+        resumed = True  # trained params: skip activation pretraining
+        print(f"warm-started from {init_from} at step {init_step}", file=sys.stderr)
 
     # activation pretraining per the reference's config contract
     # (pretrain_activations_target/_max_iters/_to_rmse/_lr, config_utils.py:404-407)
@@ -182,6 +211,11 @@ def cli():
     parser.add_argument("--num_workers", type=int, default=2,
                         help="prefetch threads extracting mel/F0 targets")
     parser.add_argument("--no_resume", dest="resume", action="store_false")
+    parser.add_argument("--init_from", default=None,
+                        help="warm-start params from an inference weights.npz "
+                             "(used only when no Orbax checkpoint restores)")
+    parser.add_argument("--init_step", type=int, default=0,
+                        help="step counter to start from with --init_from")
     parser.add_argument("-a", "--cargs", default=None, nargs="+",
                         help="config overrides with ':' as field separator")
     args = parser.parse_args()

@@ -58,15 +58,18 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
     for tgt in $legs; do
         local log="$run.leg$tgt.log"
         say "=== $model: training to step $tgt/$STEPS on $train_dir -> $run ==="
+        # EXTRA_TRAIN_ARGS (word-split on purpose): e.g. warm-start flags
+        # "--init_from <registry>/weights.npz --init_step 10000" when the
+        # Orbax run dir was lost but the published checkpoint survived.
         nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
-            --steps "$tgt" --num_workers 3 > "$log" 2>&1 < /dev/null &
+            --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} > "$log" 2>&1 < /dev/null &
         echo $! > "$pidfile"
 
         # watchdog blocks until the done marker appears (restarting through
         # relay wedges), or gives up after MAX_RESTARTS
         tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
             python bin/train.py "$model" -d "$train_dir" -o "$run" \
-            --steps "$tgt" --num_workers 3 2>> "$run.watchdog.log"
+            --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} 2>> "$run.watchdog.log"
         if ! grep -q "exported inference model to" "$log" 2>/dev/null; then
             say "$model: leg to step $tgt never finished; skipping eval/publish"
             return 1
@@ -100,6 +103,9 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
                 && say "$model: registry committed" || say "$model: autocommit failed"
         fi
     fi
+    # SKIP_SHIFT=1 defers the shifted-OOD companion eval (e.g. intermediate
+    # stages of a staged retrain; the final stage runs it).
+    if [ "${SKIP_SHIFT:-0}" = "1" ]; then return 0; fi
     run_step "${model}_eval_shift" 2700 python tools/quality_eval.py \
         --model "$run" --eval_dir "$shift_dir" --out "$run/quality_report_shift.json"
     # ship the shifted-OOD companion next to the published weights (only if
