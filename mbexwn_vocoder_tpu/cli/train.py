@@ -133,6 +133,28 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
     logger = MetricsLogger(os.path.join(output_dir, cc.get("log_dir", "logs")))
 
     step_fn = trainer.jitted_train_step()
+
+    # Compact uploads (TPU relay note): host->device moves ~10 MB/s here, so
+    # the raw fp32 batch (audio 3 MB + sample-rate F0 3 MB + mel 0.8 MB at
+    # batch 32) costs more wall time than the train step itself (measured
+    # 0.57 s/step, upload-bound).  Ship the F0 target pre-strided to the
+    # pulse rate — exactly the values training_forward keeps, bit-identical —
+    # and, unless MBEXWN_UPLOAD_FP16=0, audio/mel as fp16 (dequantized to
+    # fp32 on device; a ~-66 dB quantization floor, far below model error).
+    upload_fp16 = os.environ.get("MBEXWN_UPLOAD_FP16", "1") != "0"
+    f0_down = trainer.F0_down
+
+    def _prep(b):
+        out = {}
+        for k, v in b.items():
+            if k == "F0":
+                out["F0_ds"] = jnp.asarray(np.ascontiguousarray(v[:, ::f0_down]))
+            elif upload_fp16 and k in ("audio", "mel"):
+                out[k] = jnp.asarray(np.asarray(v, dtype=np.float16))
+            else:
+                out[k] = jnp.asarray(v)
+        return out
+
     rng = jax.random.PRNGKey(data_seed + 1)
     t_last = time.time()
     # Host-memory note (axon relay backend, measured 2026-08-20): the runtime
@@ -160,7 +182,7 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
             if int(state.step) >= steps:
                 break
             rng, sub = jax.random.split(rng)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = _prep(batch)
             if mesh is not None:
                 with mesh:
                     state, metrics = step_fn(state, jb, sub)

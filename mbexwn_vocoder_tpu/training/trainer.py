@@ -136,10 +136,15 @@ class Trainer:
 
     # ------------------------------------------------------ training forward
 
-    def training_forward(self, params, audio, mel, F0, step, rng):
+    def training_forward(self, params, audio, mel, F0, step, rng, F0_ds=None):
         """Training-mode forward: returns (signal, aux dict of raw losses).
 
         Mirrors MBExWN.call(training=True) (custom_pulsed_generator.py:556-771).
+        `F0_ds` is the pulse-rate F0 target; when given it replaces the
+        on-device striding of the sample-rate `F0` (the loader can then ship
+        only the strided values — TPU note: the full-rate contour is 3 MB a
+        batch over the ~10 MB/s relay and every sample between strides is
+        discarded here anyway).
         """
         blk = self.model.block
         aux = {}
@@ -156,7 +161,8 @@ class Trainer:
 
         pulse_frequency = blk.generate_f0(params, mel_in)
 
-        F0_ds = F0[:, :: self.F0_down] if F0 is not None else None
+        if F0_ds is None:
+            F0_ds = F0[:, :: self.F0_down] if F0 is not None else None
         pred_mask = rec_mask = None
         if F0_ds is not None:
             t = F0_ds[:, :, 0] if F0_ds.ndim == 3 else F0_ds
@@ -236,10 +242,21 @@ class Trainer:
 
     def loss_fn(self, params, batch, step, rng):
         audio, mel, F0 = batch["audio"], batch["mel"], batch.get("F0")
+        # compact-upload batches (cli/train.py): fp16 halves the relay upload
+        # (the training bottleneck on this runtime is host->device bandwidth,
+        # not compute); losses/conditioning always run from fp32 here
+        if audio.dtype != jnp.float32:
+            audio = audio.astype(jnp.float32)
+        if mel.dtype != jnp.float32:
+            mel = mel.astype(jnp.float32)
+        F0_ds = batch.get("F0_ds")
+        if F0_ds is not None and F0_ds.dtype != jnp.float32:
+            F0_ds = F0_ds.astype(jnp.float32)
         if self.dither_level:
             rng, d = jax.random.split(rng)
             audio = audio + self.dither_level * jax.random.normal(d, audio.shape, audio.dtype)
-        signal, target_audio, aux = self.training_forward(params, audio, mel, F0, step, rng)
+        signal, target_audio, aux = self.training_forward(params, audio, mel, F0, step, rng,
+                                                          F0_ds=F0_ds)
         total, spect_aux = self.spect_losses.total_loss(target_audio, signal, step=step, rng=rng)
         metrics = {k: v for k, v in spect_aux.items() if v is not None}
         if self.TD_loss_weight:

@@ -192,6 +192,41 @@ def test_bf16_train_step_grads(monkeypatch):
     assert cos > 0.98, f"bf16/fp32 gradient cosine {cos}"
 
 
+def test_pre_strided_f0_loss_identical(trainer_setup):
+    """Compact-upload contract (cli/train.py::_prep): shipping F0 pre-strided
+    to the pulse rate as batch key `F0_ds` is bit-identical to shipping the
+    sample-rate contour and striding on device (trainer.training_forward)."""
+    trainer, state, batch = trainer_setup
+    rng = jax.random.PRNGKey(7)
+    loss_full, aux_full = trainer.loss_fn(state.params, batch, jnp.int32(0), rng)
+    compact = {
+        "audio": batch["audio"],
+        "mel": batch["mel"],
+        "F0_ds": batch["F0"][:, :: trainer.F0_down],
+    }
+    loss_ds, aux_ds = trainer.loss_fn(state.params, compact, jnp.int32(0), rng)
+    assert float(loss_full) == float(loss_ds)
+    for k in aux_full:
+        if aux_full[k] is not None:
+            np.testing.assert_array_equal(np.asarray(aux_full[k]), np.asarray(aux_ds[k]))
+
+
+def test_fp16_upload_dequant_close(trainer_setup):
+    """fp16-upload batches (audio/mel dequantized to fp32 in loss_fn) keep the
+    loss within the fp16 quantization floor of the fp32-upload loss."""
+    trainer, state, batch = trainer_setup
+    rng = jax.random.PRNGKey(8)
+    loss32, _ = trainer.loss_fn(state.params, batch, jnp.int32(0), rng)
+    half = {
+        "audio": jnp.asarray(np.asarray(batch["audio"], dtype=np.float16)),
+        "mel": jnp.asarray(np.asarray(batch["mel"], dtype=np.float16)),
+        "F0_ds": batch["F0"][:, :: trainer.F0_down],
+    }
+    loss16, _ = trainer.loss_fn(state.params, half, jnp.int32(0), rng)
+    assert np.isfinite(float(loss16))
+    assert abs(float(loss16) - float(loss32)) / max(abs(float(loss32)), 1e-6) < 5e-3
+
+
 def test_dp_matches_single_device(trainer_setup):
     """DP over an 8-device CPU mesh gives the same loss/params as one device."""
     from jax.sharding import Mesh
