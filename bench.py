@@ -236,6 +236,29 @@ def main():
 
     t_start = time.time()
 
+    # single-tenant interlock: never race the repo's own training chain /
+    # measurement queues for the TPU (the round-4 driver bench did exactly
+    # that and the captured b1 halved).  Held for the whole bench, including
+    # the subprocess legs.  MBEXWN_TPU_LOCK=0 disables (CPU smoke tests).
+    lock = None
+    if os.environ.get("MBEXWN_PLATFORM") != "cpu":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from tpu_lock import acquire_tpu_lock
+
+        try:
+            lock = acquire_tpu_lock(timeout_s=float(os.environ.get("MBEXWN_TPU_LOCK_TIMEOUT_S", "3600")),
+                                    label="bench.py")
+        except TimeoutError as exc:
+            print(f"bench: {exc}", file=sys.stderr)
+            cache_path_ = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
+            if os.path.exists(cache_path_):
+                out = json.load(open(cache_path_))
+                out["stale_cache"] = True
+                out["tpu_lock_timeout"] = True
+                print(json.dumps(out))
+                return
+            raise
+
     def sub(B, T_mel, timeout_s=600, retries=1):
         for attempt in range(retries + 1):
             try:
@@ -310,6 +333,13 @@ def main():
         except OSError:
             pass
     print(json.dumps(out))
+    if lock is not None:
+        # relay cooldown: the next claimant needs the device quiet >=60 s
+        # after our last TPU subprocess exited; hold the lock through it so
+        # a waiting training leg cannot wedge itself on a half-torn-down
+        # device (CLAUDE.md "TPU runtime")
+        time.sleep(60)
+        lock.close()
 
 
 if __name__ == "__main__":

@@ -622,7 +622,10 @@ class MBExWN(Module):
         # one-hot matmul instead of a gather (30 windows; TPU gathers are
         # pathologically slow to compile -- see ops/oscillator.py note)
         onehot = (idx[..., None] == jnp.arange(log10f0.shape[0], dtype=idx.dtype)).astype(jnp.float32)
-        windows = jnp.einsum("btn,nc->btc", onehot, jnp.asarray(self.ps_cepstral_windows))
+        from ..ops.precision import sensitive_matmul_precision
+
+        windows = jnp.einsum("btn,nc->btc", onehot, jnp.asarray(self.ps_cepstral_windows),
+                             precision=sensitive_matmul_precision())
         return jax.lax.stop_gradient(windows)
 
     def generate_specenv(self, params, mel, pulse_frequency, training=False):

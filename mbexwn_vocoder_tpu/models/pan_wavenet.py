@@ -100,7 +100,10 @@ class NormMelComponents:
     def _estimate_rms(self, mel):
         """Per-frame RMS estimate (B, T) from linear-amplitude mel (B, T, C)."""
         if self.use_pinv:
-            spec = jnp.einsum("btc,cf->btf", mel, jnp.asarray(self.mel_band_filter_inverted)) / self.win_norm
+            from ..ops.precision import sensitive_matmul_precision
+
+            spec = jnp.einsum("btc,cf->btf", mel, jnp.asarray(self.mel_band_filter_inverted),
+                              precision=sensitive_matmul_precision()) / self.win_norm
             return jnp.sqrt(jnp.sum(jnp.square(spec), axis=-1) / self.rms_norm_fact)
         return jnp.sqrt(
             jnp.sum(jnp.square(mel * jnp.asarray(self.inv_enorm)), axis=-1) / self.rms_norm_fact

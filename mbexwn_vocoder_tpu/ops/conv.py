@@ -102,6 +102,12 @@ def conv1d(
     else:
         raise ValueError(f"unsupported padding {padding}")
     if x.dtype == jnp.float32:
+        # fp32 mode means TRUE fp32: at DEFAULT precision the TPU MXU would
+        # truncate fp32 operands to bf16 anyway, making the fp32/bf16 modes
+        # numerically identical on TPU (the round-4 "no dtype cost" finding
+        # was exactly this).  See ops/precision.py.
+        from .precision import sensitive_matmul_precision
+
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -110,6 +116,7 @@ def conv1d(
             rhs_dilation=(dilation,),
             dimension_numbers=_DN,
             preferred_element_type=x.dtype,
+            precision=sensitive_matmul_precision(),
         )
     else:
         y = _conv_reduced_precision(x, kernel, stride, dilation,

@@ -73,7 +73,13 @@ def wavetable_lookup(phase: jnp.ndarray, wavetables: jnp.ndarray, no_interp: boo
             w = (jnp.round(pw)[..., None] == centers).astype(wavetables.dtype)
         else:
             w = jnp.maximum(1.0 - jnp.abs(pw[..., None] - centers), 0.0)
-        return jnp.einsum("btn,ng->btg", w, wavetables, preferred_element_type=wavetables.dtype)
+        # HIGHEST: the tent weights carry the fractional phase; bf16-truncated
+        # operands (TPU DEFAULT) would add an ~-60 dB floor to the excitation
+        from .precision import sensitive_matmul_precision
+
+        return jnp.einsum("btn,ng->btg", w, wavetables,
+                          preferred_element_type=wavetables.dtype,
+                          precision=sensitive_matmul_precision())
 
     T = phase_wt.shape[1]
     if T <= block_t or T % block_t != 0:

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import sensitive_matmul_precision
+
 # rDFT evaluation method for the on-device transforms:
 #   "fft"    -> jnp.fft.rfft/irfft (XLA's FFT lowering)
 #   "matmul" -> explicit real-DFT matmuls (rides the MXU; the transform sizes
@@ -63,9 +65,12 @@ def rdft(frames: jnp.ndarray, fft_length: int, method: Optional[str] = None) -> 
     method = method or STFT_METHOD
     if method == "fft":
         return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    # TPU note: HIGHEST keeps the twiddle matmuls true fp32 (DEFAULT would
+    # truncate the operands to bf16 on the MXU — see ops/precision.py)
+    prec = sensitive_matmul_precision()
     C, S = _rdft_matrices(frames.shape[-1], fft_length)
-    re = jnp.matmul(frames, jnp.asarray(C))
-    im = -jnp.matmul(frames, jnp.asarray(S))
+    re = jnp.matmul(frames, jnp.asarray(C), precision=prec)
+    im = -jnp.matmul(frames, jnp.asarray(S), precision=prec)
     return jax.lax.complex(re, im)
 
 
@@ -74,8 +79,10 @@ def irdft(spec: jnp.ndarray, fft_length: int, n_out: int, method: Optional[str] 
     method = method or STFT_METHOD
     if method == "fft":
         return jnp.fft.irfft(spec, n=fft_length, axis=-1)[..., :n_out]
+    prec = sensitive_matmul_precision()
     Cr, Ci = _irdft_matrices(fft_length, n_out)
-    return jnp.matmul(jnp.real(spec), jnp.asarray(Cr)) + jnp.matmul(jnp.imag(spec), jnp.asarray(Ci))
+    return (jnp.matmul(jnp.real(spec), jnp.asarray(Cr), precision=prec)
+            + jnp.matmul(jnp.imag(spec), jnp.asarray(Ci), precision=prec))
 
 
 

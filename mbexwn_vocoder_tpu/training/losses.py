@@ -141,7 +141,10 @@ class MelLoss:
         padded = jnp.pad(signal, ((0, 0), (self.win_len // 2, self.win_len // 2 + self.hop_size + 1)),
                          mode="reflect")
         spec = jnp.abs(stft(padded, self.win_len, self.hop_size, self.fft_size, jnp.asarray(self.window)))
-        mel = jnp.einsum("btf,fm->btm", spec, jnp.asarray(self.mel_basis_T))
+        from ..ops.precision import sensitive_matmul_precision
+
+        mel = jnp.einsum("btf,fm->btm", spec, jnp.asarray(self.mel_basis_T),
+                         precision=sensitive_matmul_precision())
         return self.mel_amp_scale * jnp.log(mel + self.lin_amp_off)
 
     def __call__(self, ref_audio, gen_audio):
