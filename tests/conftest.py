@@ -31,6 +31,13 @@ os.environ.pop("MBEXWN_FUSED_TAIL", None)
 os.environ.pop("MBEXWN_PALLAS_WN", None)
 os.environ.pop("MBEXWN_PALLAS", None)
 os.environ.pop("MBEXWN_WN_QUANT", None)
+# the suite never touches the TPU, so it must never sit on (or wait for)
+# the repo-wide single-tenant TPU lock a live training chain holds
+os.environ["MBEXWN_TPU_LOCK"] = "0"
+# matmul precision: the suite's oracle tolerances were set under fp32 CPU
+# math; keep the default policy (HIGHEST) explicit so a shell override
+# cannot flip test numerics
+os.environ.pop("MBEXWN_MATMUL_PRECISION", None)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
