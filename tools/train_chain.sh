@@ -1,13 +1,22 @@
 #!/usr/bin/env bash
-# Chain the v2-corpus retrains of all three registry models on the
+# Chain the v2/v3-corpus retrains of the registry models on the
 # single-tenant TPU, unattended: for each model, train under
 # tools/train_watchdog.sh, then run the quality evals (shipped-default dtype,
 # fp32, and the out-of-distribution shifted set), then publish into the
 # registry. Pure bash between python steps; exactly ONE python-with-jax
 # process ever runs at a time (see CLAUDE.md "TPU runtime").
 #
+# Every TPU-claiming step (training legs incl. their watchdog restarts,
+# evals, publishes) holds an exclusive flock on .runs/tpu.lock THROUGH its
+# post-exit cooldown, so a concurrent `python bench.py` (which acquires the
+# same lock, tools/tpu_lock.py) can never race a leg for the device — the
+# round-4 driver bench did exactly that and its captured b1 halved.
+#
 # Usage: nohup tools/train_chain.sh > .runs/chain.log 2>&1 &
 #   MODELS="SING SPEECH" tools/train_chain.sh   # subset / custom order
+#   RUN_SUFFIX=_ft STEPS=17500 LEG_STEPS=17500 \
+#     EXTRA_TRAIN_ARGS="--init_from <weights.npz> --init_step 15000 -a training_config:optimizer:learning_rate=1.0e-5" \
+#     tools/train_chain.sh                      # low-LR fine-tune leg in a fresh run dir
 set -u
 cd "$(dirname "$0")/.."
 
@@ -19,7 +28,11 @@ MODELS=${MODELS:-"SING SPEECH VOICE"}
 # round-4 quality lever).  Eval gates stay the v2 + shifted sets either way
 # so quality reports remain comparable across corpus generations.
 CORPUS=${CORPUS:-v3}
-QDIR=.runs/chain
+# RUN_SUFFIX gives a stage its own run dir (e.g. a fine-tune leg that must
+# NOT resume the base run's Orbax checkpoint at a higher step).
+RUN_SUFFIX=${RUN_SUFFIX:-}
+QDIR=${QDIR:-.runs/chain}
+LOCKFILE=.runs/tpu.lock
 mkdir -p "$QDIR"
 
 say() { echo "[chain $(date -u +%H:%M:%S)] $*" >&2; }
@@ -27,12 +40,17 @@ say() { echo "[chain $(date -u +%H:%M:%S)] $*" >&2; }
 run_step() {  # run_step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
     say "step $name: $*"
-    timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
-    local rc=$?
-    say "step $name exit $rc"
-    # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
-    # count) needs a >=120 s quiet period before the next claimant.
-    if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
+    (
+        flock -w 7200 9 || { say "step $name: TPU lock timeout"; exit 9; }
+        timeout "$tmo" "$@" > "$QDIR/$name.log" 2>&1
+        local rc=$?
+        say "step $name exit $rc"
+        # CLAUDE.md TPU runtime: a crashed/killed TPU process (timeout kills
+        # count) needs a >=120 s quiet period before the next claimant; hold
+        # the lock through the cooldown so the next claimant's wait IS the
+        # cooldown.
+        if [ "$rc" -ne 0 ]; then sleep "${CRASH_COOLDOWN_S:-130}"; else sleep "$COOLDOWN_S"; fi
+    ) 9>>"$LOCKFILE"
     return 0
 }
 
@@ -58,24 +76,27 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
     for tgt in $legs; do
         local log="$run.leg$tgt.log"
         say "=== $model: training to step $tgt/$STEPS on $train_dir -> $run ==="
-        # EXTRA_TRAIN_ARGS (word-split on purpose): e.g. warm-start flags
-        # "--init_from <registry>/weights.npz --init_step 10000" when the
-        # Orbax run dir was lost but the published checkpoint survived.
-        nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
-            --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} > "$log" 2>&1 < /dev/null &
-        echo $! > "$pidfile"
+        (
+            flock -w 7200 9 || { say "$model: TPU lock timeout for leg $tgt"; exit 9; }
+            # EXTRA_TRAIN_ARGS (word-split on purpose): e.g. warm-start flags
+            # "--init_from <registry>/weights.npz --init_step 10000" when the
+            # Orbax run dir was lost but the published checkpoint survived.
+            nohup python bin/train.py "$model" -d "$train_dir" -o "$run" \
+                --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} > "$log" 2>&1 < /dev/null &
+            echo $! > "$pidfile"
 
-        # watchdog blocks until the done marker appears (restarting through
-        # relay wedges), or gives up after MAX_RESTARTS
-        tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
-            python bin/train.py "$model" -d "$train_dir" -o "$run" \
-            --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} 2>> "$run.watchdog.log"
+            # watchdog blocks until the done marker appears (restarting through
+            # relay wedges), or gives up after MAX_RESTARTS
+            tools/train_watchdog.sh "$pidfile" "$log" "exported inference model to" -- \
+                python bin/train.py "$model" -d "$train_dir" -o "$run" \
+                --steps "$tgt" --num_workers 3 ${EXTRA_TRAIN_ARGS:-} 2>> "$run.watchdog.log"
+            sleep "$COOLDOWN_S"
+        ) 9>>"$LOCKFILE"
         if ! grep -q "exported inference model to" "$log" 2>/dev/null; then
             say "$model: leg to step $tgt never finished; skipping eval/publish"
             return 1
         fi
-        say "$model: leg to step $tgt done; cooling down ${COOLDOWN_S}s"
-        sleep "$COOLDOWN_S"
+        say "$model: leg to step $tgt done (cooled down under lock)"
     done
 
     run_step "${model}_eval" 2700 python tools/quality_eval.py \
@@ -124,13 +145,13 @@ for m in $MODELS; do
     case "$m" in
     SING)
         train_one SING  ".data/sing_train_$CORPUS"  .data/sing_eval_v2  .data/sing_eval_shift \
-            ".runs/sing_$CORPUS"  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
+            ".runs/sing_$CORPUS$RUN_SUFFIX"  mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SING_WNCHA320_24kHz ;;
     SPEECH)
         train_one SPEECH ".data/synth_train_$CORPUS" .data/synth_eval_v2 .data/synth_eval_shift \
-            ".runs/speech_$CORPUS" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
+            ".runs/speech_$CORPUS$RUN_SUFFIX" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_SPEECH_WNCHA320_24kHz ;;
     VOICE)
         train_one VOICE ".data/voice_train_$CORPUS" .data/voice_eval_v2 .data/voice_eval_shift \
-            ".runs/voice_$CORPUS" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
+            ".runs/voice_$CORPUS$RUN_SUFFIX" mbexwn_vocoder_tpu/models_registry/MBExWN_TPU_VOICE_WNCHA340_24kHz ;;
     *) say "unknown model '$m'" ;;
     esac
 done
