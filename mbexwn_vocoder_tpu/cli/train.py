@@ -94,8 +94,16 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
             if a.shape != b.shape]
         if mismatch:
             raise RuntimeError(f"--init_from {init_from}: shape mismatch at {mismatch[:4]}")
-        state = TrainState(params=warm, opt_state=trainer.optimizer.init(warm),
-                           step=jnp.int32(init_step))
+        opt_state = trainer.optimizer.init(warm)
+        if init_step:
+            # keep step-keyed optimizer pieces (an lr_schedule's position,
+            # adam bias correction) on the original timeline instead of
+            # replaying from 0 (advisor round-4 note; moments still start
+            # fresh -- they re-estimate within ~1/(1-b2) steps)
+            from ..training.trainer import fast_forward_opt_state
+
+            opt_state = fast_forward_opt_state(opt_state, init_step)
+        state = TrainState(params=warm, opt_state=opt_state, step=jnp.int32(init_step))
         resumed = True  # trained params: skip activation pretraining
         print(f"warm-started from {init_from} at step {init_step}", file=sys.stderr)
 
@@ -142,6 +150,13 @@ def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices
     # and, unless MBEXWN_UPLOAD_FP16=0, audio/mel as fp16 (dequantized to
     # fp32 on device; a ~-66 dB quantization floor, far below model error).
     upload_fp16 = os.environ.get("MBEXWN_UPLOAD_FP16", "1") != "0"
+    if upload_fp16:
+        # visible numerics notice (advisor round-4): audio/mel conditioning
+        # crosses host->device as fp16 (~-66 dB quantization floor, measured
+        # <5e-3 relative loss effect).  The win is only the relay's ~10 MB/s
+        # upload path; set MBEXWN_UPLOAD_FP16=0 on fast-upload hosts.
+        print("upload: audio/mel as fp16 (relay-bandwidth mode; "
+              "MBEXWN_UPLOAD_FP16=0 for fp32 uploads)", file=sys.stderr)
     f0_down = trainer.F0_down
 
     def _prep(b):

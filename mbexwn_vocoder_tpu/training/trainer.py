@@ -83,6 +83,26 @@ def _make_optimizer(training_config: Dict) -> optax.GradientTransformation:
     return tx
 
 
+def fast_forward_opt_state(opt_state, step: int):
+    """Set every optimizer-internal step counter to `step`.
+
+    Used by the trainer CLI's --init_from warm start: a freshly init'd
+    opt_state restarts its `count` fields at 0, which would replay an
+    lr_schedule (and adam's bias correction) from the beginning even though
+    --init_step places the run mid-timeline.  Optax states are (nested)
+    namedtuples; any field literally named `count` is a step counter."""
+    def _ff(st):
+        if hasattr(st, "_fields"):
+            if "count" in st._fields:
+                st = st._replace(count=jnp.asarray(step, jnp.int32))
+            return st
+        if isinstance(st, tuple):
+            return tuple(_ff(s) for s in st)
+        return st
+
+    return _ff(opt_state)
+
+
 class Trainer:
     def __init__(self, model: PaNWaveNet, hparams: Dict, mesh=None):
         # the fused Pallas WaveNet kernel has no VJP; pin its "auto" routing

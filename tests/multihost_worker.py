@@ -11,10 +11,12 @@ backend) on the same code path that rides ICI/DCN on a TPU pod
 import os
 import sys
 
-# Two-process mode: 4 virtual devices per process -> 8 global.  The
+# Multi-process mode: MH_LOCAL_DEVICES virtual devices per process (default
+# 4, i.e. 2 processes -> 8 global; the 4-process rehearsal uses 2).  The
 # MH_SINGLE=1 control leg is ONE process standing in for the whole cluster,
 # so it needs all 8 devices locally or the n_global assert below fails.
-_LOCAL_DEVICES = 8 if os.environ.get("MH_SINGLE") == "1" else 4
+_LOCAL_DEVICES = (8 if os.environ.get("MH_SINGLE") == "1"
+                  else int(os.environ.get("MH_LOCAL_DEVICES", "4")))
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + f" --xla_force_host_platform_device_count={_LOCAL_DEVICES}"

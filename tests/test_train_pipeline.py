@@ -415,3 +415,33 @@ def test_synthesis_flops_and_multihost_info():
 
     pi = process_info()
     assert pi["process_count"] >= 1 and pi["local_devices"] >= 1
+
+
+def test_warm_start_fast_forwards_optimizer_count(tmp_path):
+    """--init_from warm start: optimizer step counters must continue at
+    --init_step (advisor round-4: a freshly init'd opt_state would replay an
+    lr_schedule from step 0 despite init_step)."""
+    import optax
+
+    from mbexwn_vocoder_tpu.training.trainer import fast_forward_opt_state
+
+    params = {"w": np.zeros((3,), np.float32)}
+    sched = optax.cosine_decay_schedule(1e-4, 1000, alpha=0.01)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    st = fast_forward_opt_state(tx.init(params), 700)
+
+    def _counts(s, acc):
+        if hasattr(s, "_fields"):
+            if "count" in s._fields:
+                acc.append(int(s.count))
+        elif isinstance(s, tuple):
+            for x in s:
+                _counts(x, acc)
+        return acc
+
+    assert _counts(st, []) and all(c == 700 for c in _counts(st, []))
+
+    # the next update really advances from step 700, not step 0
+    grads = {"w": np.ones((3,), np.float32)}
+    _, st2 = tx.update(grads, st, params)
+    assert _counts(st2, []) and all(c == 701 for c in _counts(st2, []))
