@@ -51,10 +51,11 @@ def acquire_tpu_lock(timeout_s: float = 3600.0, label: str = ""):
         except OSError:
             waited = time.time() - t0
             if waited >= timeout_s:
+                holder = _holder(f)
                 f.close()
                 raise TimeoutError(
                     f"TPU lock {LOCK_PATH} still held after {int(waited)} s "
-                    f"(holder: {_holder(f)}); refusing to race the single-tenant device")
+                    f"(holder: {holder}); refusing to race the single-tenant device")
             if waited - last_note >= 60 or last_note == 0.0:
                 print(f"[tpu_lock] waiting for {LOCK_PATH} "
                       f"(held by: {_holder(f)}; {int(waited)} s elapsed)",
