@@ -130,6 +130,9 @@ def main():
               "mean_f0_rmse_hz": round(mean_f0, 2) if mean_f0 is not None else None,
               "mean_voicing_err_pct": round(mean_verr, 2) if mean_verr is not None else None,
               "platform": _jax.devices()[0].platform,
+              # ops/precision.py policy actually in effect (round-5: DEFAULT
+              # truncation cost the TPU gate ~2.4 dB; provenance matters)
+              "matmul_precision": (os.environ.get("MBEXWN_MATMUL_PRECISION") or "highest"),
               "wn_compute_dtype": str(getattr(blk, "wn_compute_dtype", None) or "float32"),
               "subnet_compute_dtype": str(getattr(blk, "subnet_compute_dtype", None) or "float32"),
               "eval_dir": args.eval_dir,
