@@ -14,6 +14,13 @@
 # Exactly one python-with-jax process at a time (train_chain owns that
 # invariant); run this under nohup and watch .runs/r4cont.log.
 set -u
+# ARCHIVED (round 5): superseded by tools/r5_queue.sh.  A leftover instance
+# of this queue survived the round-4/5 session boundary and raced the r5
+# queue's chain for the single-tenant TPU (2026-08-20 21:31, three
+# concurrent trainers).  It is kept as provenance of the round-4 stages but
+# refuses to run.
+echo "r4cont_queue.sh is archived; use tools/r5_queue.sh" >&2
+exit 2
 cd "$(dirname "$0")/.."
 mkdir -p .runs
 

@@ -78,6 +78,18 @@ train_one() {  # train_one <model> <train_dir> <eval_dir> <shift_dir> <run> <des
         say "=== $model: training to step $tgt/$STEPS on $train_dir -> $run ==="
         (
             flock -w 7200 9 || { say "$model: TPU lock timeout for leg $tgt"; exit 9; }
+            # a previous stage/chain may have left (a) a live trainer on the
+            # shared pidfile -- never launch beside it (single-tenant TPU) --
+            # and (b) a done marker in this REUSED leg log, which would let
+            # the watchdog+wait fall through while the fresh trainer is still
+            # initializing (observed 2026-08-20: three concurrent trainers).
+            # Wait out stragglers, then truncate the log.
+            old_pid=$(cat "$pidfile" 2>/dev/null || true)
+            while [ -n "$old_pid" ] && kill -0 "$old_pid" 2>/dev/null; do
+                say "$model: waiting for straggler trainer pid $old_pid"
+                sleep 20
+            done
+            : > "$log"
             # EXTRA_TRAIN_ARGS (word-split on purpose): e.g. warm-start flags
             # "--init_from <registry>/weights.npz --init_step 10000" when the
             # Orbax run dir was lost but the published checkpoint survived.
