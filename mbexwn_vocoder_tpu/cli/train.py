@@ -14,6 +14,26 @@ import time
 def main(model_id, data_dir, output_dir, steps=10000, batch_size=None, n_devices=1,
          save_every=None, log_every=50, seed=42, cargs=None, resume=True, num_workers=2,
          init_from=None, init_step=0):
+    # No-op-leg fast path: a staged retrain chain (tools/train_chain.sh)
+    # re-runs earlier --steps targets when resuming a later stage; if the
+    # Orbax checkpoint already reached this target AND the inference export
+    # exists, there is nothing to train — print the chain's done marker and
+    # exit WITHOUT building the model or claiming the single-tenant TPU
+    # (saves ~3 min + a device claim per replayed leg).  Orbax step dirs are
+    # integer-named (training/checkpointing.py), so this is pure filesystem.
+    if resume:
+        _ckdir = os.path.join(output_dir, "checkpoints")
+        try:
+            _done = max((int(d) for d in os.listdir(_ckdir) if d.isdigit()), default=-1)
+        except OSError:
+            _done = -1
+        if (_done >= steps and os.path.exists(os.path.join(output_dir, "weights.npz"))
+                and os.path.exists(os.path.join(output_dir, "config.yaml"))):
+            print(f"checkpoint already at step {_done} >= target {steps}; nothing to train",
+                  file=sys.stderr)
+            print(f"exported inference model to {output_dir}", file=sys.stderr)
+            return
+
     import numpy as np
 
     import jax

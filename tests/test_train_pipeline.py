@@ -319,6 +319,19 @@ def test_train_cli_end_to_end(tmp_path):
     recs = [json.loads(l) for l in open(mfile)]
     assert any(r["step"] == 6 for r in recs)
 
+    # replaying an already-reached --steps target is a pure-filesystem no-op
+    # (the staged chain re-runs earlier legs; it must not rebuild the model
+    # or claim a device) -- the done marker must still be printed
+    import io
+    from contextlib import redirect_stderr
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        train_main("SPEECH", data_dir, out_dir, steps=6, batch_size=2, save_every=2,
+                   log_every=1, cargs=cargs, num_workers=1)
+    assert "nothing to train" in buf.getvalue()
+    assert f"exported inference model to {out_dir}" in buf.getvalue()
+
     # the exported directory is a loadable model
     inv = MELInverter(out_dir)
     mel = np.random.RandomState(0).randn(1, 8, 80).astype(np.float32) * 0.5 - 4
