@@ -83,3 +83,33 @@ def test_publish_companion_lifecycle_and_downgrade_guard(tmp_path):
     (run4 / "quality_report.json").write_text(json.dumps(rep))
     _publish(run4, dest)
     assert json.load(open(dest / "quality_report.json"))["mean_mel_L1_dB"] == 9.9
+
+
+def test_publish_regime_mismatch_requires_explicit_decision(tmp_path):
+    """Round-5 incident guard: means measured under different numerics
+    regimes (matmul_precision/platform) are not comparable — after the
+    precision fix every re-eval improved ~2.4 dB, so a worse model beat a
+    stale pre-fix mean and a downgrade was published.  Regime mismatch must
+    refuse (even when the new mean looks better) until the registry control
+    is re-measured under the current policy."""
+    dest = tmp_path / "registry_model"
+
+    run1 = _make_run(tmp_path, "run1", mean=8.0)  # pre-fix era: no regime keys
+    _publish(run1, dest)
+
+    # "better" mean but measured under a different regime -> refused
+    run2 = _make_run(tmp_path, "run2", mean=6.0)
+    rep = _report(6.0)
+    rep.update(matmul_precision="highest", platform="tpu")
+    (run2 / "quality_report.json").write_text(json.dumps(rep))
+    proc = _publish(run2, dest, expect_rc=1)
+    assert "different numerics regime" in proc.stderr
+    assert json.load(open(dest / "quality_report.json"))["mean_mel_L1_dB"] == 8.0
+
+    # re-measuring the PUBLISHED weights under the current policy (ship as
+    # the control) makes the comparison same-regime again
+    ctl = _report(7.0)
+    ctl.update(matmul_precision="highest", platform="tpu")
+    (dest / "quality_report.json").write_text(json.dumps(ctl))
+    _publish(run2, dest)
+    assert json.load(open(dest / "quality_report.json"))["mean_mel_L1_dB"] == 6.0

@@ -64,6 +64,23 @@ def main():
             old_rep = json.load(open(old_path))
             if old_rep.get("eval_dir") != new_rep.get("eval_dir"):
                 continue
+            # Means are only comparable when both evals ran under the same
+            # numerics regime.  Round-5 incident: after the matmul-precision
+            # fix every re-eval improved ~2.4 dB, so a *worse* new model
+            # still beat the registry's stale pre-fix mean and a downgrade
+            # was published.  When regimes differ, demand an explicit
+            # decision instead of comparing across them.
+            regime = ("matmul_precision", "platform")
+            if any(old_rep.get(k) != new_rep.get(k) for k in regime):
+                raise SystemExit(
+                    f"refusing to publish over {old_path}: the existing report was "
+                    f"measured under a different numerics regime "
+                    f"({ {k: old_rep.get(k) for k in regime} } vs "
+                    f"{ {k: new_rep.get(k) for k in regime} }), so means are not "
+                    "comparable.  Re-evaluate the PUBLISHED weights under the "
+                    "current policy (tools/quality_eval.py --model <registry dir>), "
+                    "ship that as quality_report.json, then retry — or pass --force."
+                )
             if new_rep["mean_mel_L1_dB"] > old_rep["mean_mel_L1_dB"]:
                 raise SystemExit(
                     f"refusing to downgrade {dest}: new mean "
